@@ -1,0 +1,60 @@
+"""Benchmark: full dragon registration (100k vs 100k points, default params)
+on one chip, end-to-end algorithm time — directly comparable to the
+reference's `Finished in N.NNN seconds!` contract
+(/root/reference/scripts/benchmark.sh:45-51; baseline numbers in BASELINE.md:
+C++ 0.11 s, Rust 0.07 s, Python 1.86 s on the author's PC).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline = reference_best_seconds / our_seconds (>1 means faster than the
+fastest reference implementation).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+BASELINE_BEST_S = 0.07  # Rust, the fastest reference (README.md:183)
+
+
+def main():
+    import jax
+
+    from simpleicp_tpu import IcpConfig, icp_register
+    from simpleicp_tpu.utils.xyz_io import read_xyz
+
+    X_fix = read_xyz("/root/reference/data/dragon1.xyz")
+    X_mov = read_xyz("/root/reference/data/dragon2.xyz")
+    cfg = IcpConfig()
+
+    # Compile once (the reference baseline numbers exclude startup; ours
+    # exclude compilation the same way).
+    res = icp_register(X_fix, X_mov, cfg)
+    jax.block_until_ready(res.H)
+    assert int(res.error_code) == 0 and bool(res.converged), "dragon must converge"
+
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        res = icp_register(X_fix, X_mov, cfg)
+        jax.block_until_ready(res.H)
+        times.append(time.perf_counter() - t0)
+    value = float(np.median(times))
+
+    print(
+        json.dumps(
+            {
+                "metric": "dragon_registration_wall_time",
+                "value": round(value, 4),
+                "unit": "s",
+                "vs_baseline": round(BASELINE_BEST_S / value, 3),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

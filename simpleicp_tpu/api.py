@@ -1,0 +1,510 @@
+"""Reference-parity object API: `PointCloud` and `SimpleICP`.
+
+Mirrors the reference Python public surface
+(/root/reference/python/simpleicp/__init__.py:12-14): a `PointCloud`
+container with selection state and geometry ops, and a `SimpleICP` driver
+whose `run()` signature, argument validation, exceptions, logging output and
+return values match /root/reference/python/simpleicp/simpleicp.py:75-324 —
+but whose compute is the jitted TPU pipeline in `models/icp.py` (one device
+launch instead of a host loop). The container is a struct-of-arrays over
+numpy (not a pandas DataFrame — a DataFrame per point attribute is host-side
+overhead the TPU design doesn't want), with DataFrame-compatible accessors
+for drop-in use.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .config import RBP_NAMES, IcpConfig
+from .models import icp as icp_core
+from .models.solver import RigidBodyParameters
+from .utils.log import enable_verbose_logging, get_logger
+from .utils.xyz_io import read_xyz, write_correspondences_xyz, write_xyz
+
+_log = get_logger(__name__)
+
+
+class PointCloudException(Exception):
+    """Raised when PointCloud is misused."""
+
+
+class SimpleICPException(Exception):
+    """Raised when SimpleICP is misused or the algorithm cannot proceed."""
+
+
+class PointCloud:
+    """Struct-of-arrays point-cloud container with a selection mask.
+
+    Construction accepts an (n, 3) array, a mapping of column arrays
+    (must contain "x", "y", "z"), or a pandas DataFrame (duck-typed). A
+    boolean "selected" column is added automatically if missing, like the
+    reference (/root/reference/python/simpleicp/pointcloud.py:25-49).
+    """
+
+    def __init__(self, data=None, columns: Optional[List[str]] = None) -> None:
+        cols: Dict[str, np.ndarray] = {}
+        if hasattr(data, "columns") and hasattr(data, "to_numpy"):  # DataFrame
+            for name in data.columns:
+                cols[str(name)] = np.asarray(data[name].to_numpy())
+        elif isinstance(data, dict):
+            cols = {k: np.asarray(v) for k, v in data.items()}
+        else:
+            arr = np.asarray(data, dtype=np.float64)
+            if arr.ndim != 2 or arr.shape[1] < 3:
+                raise PointCloudException(
+                    "PointCloud expects an (n, 3) array, a dict of columns, "
+                    "or a DataFrame."
+                )
+            names = columns if columns is not None else ["x", "y", "z"]
+            for j, name in enumerate(names):
+                cols[name] = arr[:, j].copy()
+
+        for coordinate in ("x", "y", "z"):
+            if coordinate not in cols:
+                raise PointCloudException(
+                    f'Column "{coordinate}" is missing in DataFrame.'
+                )
+
+        self._cols = cols
+        self._num_points = len(cols["x"])
+        if "selected" not in self._cols:
+            self._cols["selected"] = np.ones(self._num_points, dtype=bool)
+        else:
+            self._cols["selected"] = np.asarray(self._cols["selected"], dtype=bool)
+
+    # -- factory -----------------------------------------------------------
+    @classmethod
+    def from_xyz(cls, path) -> "PointCloud":
+        return cls(read_xyz(path))
+
+    # -- column/dataframe-compatible access --------------------------------
+    @property
+    def columns(self):
+        return list(self._cols.keys())
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._cols
+
+    def __getitem__(self, name: str) -> np.ndarray:
+        return self._cols[name]
+
+    def __setitem__(self, name: str, value) -> None:
+        value = np.asarray(value)
+        if value.shape[0] != self._num_points:
+            raise PointCloudException(
+                f'Column "{name}" has {value.shape[0]} rows, expected '
+                f"{self._num_points}."
+            )
+        self._cols[name] = value.astype(bool) if name == "selected" else value
+
+    def __len__(self) -> int:
+        return self._num_points
+
+    # -- coordinate properties (reference pointcloud.py:51-110) ------------
+    @property
+    def x(self) -> np.ndarray:
+        return self._cols["x"]
+
+    @property
+    def y(self) -> np.ndarray:
+        return self._cols["y"]
+
+    @property
+    def z(self) -> np.ndarray:
+        return self._cols["z"]
+
+    @property
+    def x_selected(self) -> np.ndarray:
+        return self._cols["x"][self._cols["selected"]]
+
+    @property
+    def y_selected(self) -> np.ndarray:
+        return self._cols["y"][self._cols["selected"]]
+
+    @property
+    def z_selected(self) -> np.ndarray:
+        return self._cols["z"][self._cols["selected"]]
+
+    @property
+    def X(self) -> np.ndarray:
+        return np.column_stack([self._cols["x"], self._cols["y"], self._cols["z"]])
+
+    @property
+    def X_selected(self) -> np.ndarray:
+        sel = self._cols["selected"]
+        return np.column_stack(
+            [self._cols["x"][sel], self._cols["y"][sel], self._cols["z"][sel]]
+        )
+
+    @property
+    def idx_selected(self) -> np.ndarray:
+        return np.where(self._cols["selected"])[0]
+
+    @idx_selected.setter
+    def idx_selected(self, indices) -> None:
+        self.unselect_all_points()
+        self._cols["selected"][np.asarray(indices, dtype=np.int64)] = True
+
+    @property
+    def num_points(self) -> int:
+        return self._num_points
+
+    @property
+    def num_selected_points(self) -> int:
+        return int(np.sum(self._cols["selected"]))
+
+    # -- selection ops (reference pointcloud.py:112-171) -------------------
+    def select_all_points(self) -> None:
+        self._cols["selected"][:] = True
+
+    def unselect_all_points(self) -> None:
+        self._cols["selected"][:] = False
+
+    def select_by_indices(self, indices) -> None:
+        """Select the intersection of `indices` with the current selection."""
+        self.idx_selected = np.intersect1d(self.idx_selected, indices)
+
+    def select_n_points(self, n: int) -> None:
+        """Keep n points, equidistant across the currently selected indices."""
+        if self.num_selected_points > n:
+            idx = np.round(np.linspace(0, self.num_selected_points - 1, n)).astype(int)
+            keep = self.idx_selected[idx]
+            self.unselect_all_points()
+            self._cols["selected"][keep] = True
+
+    def select_in_range(self, X: np.ndarray, max_range: float) -> None:
+        """Keep selected points whose NN in X is within max_range
+        (device tiled NN kernel instead of a KD-tree)."""
+        X = np.asarray(X)
+        if X.ndim != 2 or X.shape[1] != 3:
+            raise PointCloudException("X must have 3 columns!")
+        from .ops.knn import min_dist_sq
+
+        d2 = np.asarray(min_dist_sq(self.X_selected, X))
+        keep = d2 <= float(max_range) ** 2
+        idx_new = self.idx_selected[keep]
+        self.unselect_all_points()
+        self._cols["selected"][idx_new] = True
+
+    # -- geometry (reference pointcloud.py:173-217) ------------------------
+    def estimate_normals(self, neighbors: int) -> None:
+        """Estimate normals + planarity of the selected points from their
+        k-NN neighborhoods in the full cloud; batched on device."""
+        from .ops.knn import knn_search
+        from .ops.normals import estimate_normals_from_neighborhoods
+
+        X = self.X
+        sel = self.idx_selected
+        _, idxk = knn_search(X[sel], X, neighbors)
+        neigh = np.asarray(X)[np.asarray(idxk)]
+        normals, planarity, _ = estimate_normals_from_neighborhoods(neigh)
+        normals = np.asarray(normals)
+        planarity = np.asarray(planarity)
+
+        for j, name in enumerate(("nx", "ny", "nz")):
+            col = np.full(self._num_points, np.nan, dtype=np.float32)
+            col[sel] = normals[:, j]
+            self._cols[name] = col
+        col = np.full(self._num_points, np.nan, dtype=np.float32)
+        col[sel] = planarity
+        self._cols["planarity"] = col
+
+    def transform_by_H(self, H: np.ndarray) -> None:
+        """Apply the 4x4 homogeneous transform in place."""
+        H = np.asarray(H)
+        X = self.X @ H[:3, :3].T + H[:3, 3]
+        self._cols["x"], self._cols["y"], self._cols["z"] = X[:, 0], X[:, 1], X[:, 2]
+
+    def write_xyz(self, file) -> None:
+        write_xyz(file, self.X)
+
+
+class SimpleICP:
+    """Driver class: add two clouds, `run()` the registration."""
+
+    def __init__(self, verbose: bool = True) -> None:
+        self.pc1: Optional[PointCloud] = None
+        self.pc2: Optional[PointCloud] = None
+        if verbose:
+            enable_verbose_logging()
+
+    def add_point_clouds(self, pc_fix: PointCloud, pc_mov: PointCloud) -> None:
+        self.pc1 = pc_fix
+        self.pc2 = pc_mov
+
+    def run(
+        self,
+        correspondences: int = 1000,
+        neighbors: int = 10,
+        min_planarity: float = 0.3,
+        max_overlap_distance: float = np.inf,
+        min_change: float = 1.0,
+        max_iterations: int = 100,
+        distance_weights: Optional[float] = 1,
+        rbp_observed_values: Tuple[float, ...] = (0.0,) * 6,
+        rbp_observation_weights: Tuple[float, ...] = (0.0,) * 6,
+        debug_dirpath: str = "",
+        solver: str = "nonlinear",
+        mad_scale: float = 1.4826,
+    ) -> Tuple[np.ndarray, np.ndarray, RigidBodyParameters, np.ndarray]:
+        """Run the registration. Arguments, defaults, validation, output and
+        return values follow /root/reference/python/simpleicp/simpleicp.py:75-133;
+        `solver` and `mad_scale` are TPU-build extensions (see IcpConfig).
+
+        Returns:
+            (H, X_mov_transformed, rbp, distance_residuals)
+        """
+        if self.pc1 is None or self.pc2 is None:
+            raise SimpleICPException(
+                "Point clouds must be added with add_point_clouds() before run()."
+            )
+        self._check_arguments(
+            distance_weights, rbp_observed_values, rbp_observation_weights
+        )
+
+        start_time = time.time()
+
+        if debug_dirpath:
+            _log.info(f'Write debug files to directory "{debug_dirpath}"')
+            Path(debug_dirpath).mkdir(parents=True, exist_ok=True)
+
+        # degrees -> radians for the three angles
+        # (/root/reference/python/simpleicp/simpleicp.py:145-148)
+        obs_vals = np.array(rbp_observed_values, dtype=np.float64)
+        obs_vals[:3] *= np.pi / 180.0
+        obs_w = np.array(rbp_observation_weights, dtype=np.float64)
+
+        cfg = IcpConfig(
+            correspondences=correspondences,
+            neighbors=neighbors,
+            min_planarity=min_planarity,
+            max_overlap_distance=(
+                max_overlap_distance if max_overlap_distance is not None else math.inf
+            ),
+            min_change=min_change,
+            max_iterations=max_iterations,
+            distance_weights=distance_weights,
+            solver=solver,
+            mad_scale=mad_scale,
+        )
+
+        if cfg.overlap_enabled:
+            _log.info("Consider partial overlap of point clouds ...")
+        _log.info("Select points for correspondences in fixed point cloud ...")
+
+        has_normals = {"nx", "ny", "nz", "planarity"}.issubset(set(self.pc1.columns))
+        if not has_normals:
+            _log.info("Estimate normals of selected points ...")
+
+        # Respect a user-restricted movable selection (reference matches only
+        # among selected movable points, corrpts.py:131); a host-side compaction
+        # here is static per run.
+        mov_sel = self.pc2.idx_selected
+        X_mov_sel = self.pc2.X if len(mov_sel) == len(self.pc2) else self.pc2.X[mov_sel]
+
+        _log.info("Start iterations ...")
+        result = icp_core.icp_register(
+            self.pc1.X,
+            X_mov_sel,
+            cfg,
+            rbp_observed_values=obs_vals,
+            rbp_observation_weights=obs_w,
+            normals_fix=(
+                np.column_stack(
+                    [self.pc1["nx"], self.pc1["ny"], self.pc1["nz"]]
+                ).astype(np.float64)
+                if has_normals
+                else None
+            ),
+            planarity_fix=(
+                np.asarray(self.pc1["planarity"], dtype=np.float64)
+                if has_normals
+                else None
+            ),
+        )
+        error = int(result.error_code)
+        if error == icp_core.ERR_NO_OVERLAP:
+            raise SimpleICPException(
+                "Point clouds do not overlap within max_overlap_distance = "
+                f"{max_overlap_distance:.5f}! Consider increasing the value of "
+                "max_overlap_distance."
+            )
+        if error == icp_core.ERR_TOO_FEW_CORRESPONDENCES:
+            n_bad = int(
+                result.iter_counts[max(int(result.n_iterations) - 1, 0)]
+            )
+            raise SimpleICPException(
+                "Too few correspondences! At least 6 correspondences are "
+                "needed to estimate the 6 rigid body transformation "
+                f"parameters. The current number of correspondences is {n_bad}."
+            )
+
+        # Mirror the reference's state mutations: pc1 selection reflects the
+        # correspondence selection; pc1 gains normal columns if estimated.
+        sel_idx = np.asarray(result.sel_idx)[np.asarray(result.sel_valid)]
+        self.pc1.unselect_all_points()
+        self.pc1["selected"][sel_idx] = True
+        if not has_normals:
+            normals = np.asarray(result.normals)
+            planarity = np.asarray(result.planarity)
+            valid = np.asarray(result.sel_valid)
+            for j, name in enumerate(("nx", "ny", "nz")):
+                col = np.full(len(self.pc1), np.nan, dtype=np.float32)
+                col[sel_idx] = normals[valid, j]
+                self.pc1[name] = col
+            col = np.full(len(self.pc1), np.nan, dtype=np.float32)
+            col[sel_idx] = planarity[valid]
+            self.pc1["planarity"] = col
+
+        H = np.asarray(result.H, dtype=np.float64)
+        n_done = int(result.n_iterations)
+        converged = bool(result.converged)
+
+        # Build the rbp container
+        rbp = RigidBodyParameters()
+        rbp.set_parameter_attributes_from_list("observed_value", obs_vals)
+        rbp.set_parameter_attributes_from_list("observation_weight", obs_w)
+        rbp.set_parameter_attributes_from_list("estimated_value", np.asarray(result.p))
+        rbp.set_parameter_attributes_from_list(
+            "estimated_uncertainty", np.asarray(result.uncertainties)
+        )
+
+        # ---- iteration table replay (reference logging contract) ----
+        counts = np.asarray(result.iter_counts)
+        means = np.asarray(result.iter_means)
+        stds = np.asarray(result.iter_stds)
+        _log.info(
+            f"{'Iteration':>9s} | "
+            f"{'correspondences':>15s} | "
+            f"{'mean(residuals)':>15s} | "
+            f"{'std(residuals)':>15s}"
+        )
+        _log.info(
+            f"{'orig:0':>9s} | "
+            f"{int(result.orig_count):15d} | "
+            f"{float(result.orig_mean):15.4f} | "
+            f"{float(result.orig_std):15.4f}"
+        )
+        # The converging iteration's row is withheld (reference Python breaks
+        # before printing it, SURVEY.md Q6).
+        n_rows = n_done - 1 if converged else n_done
+        for i in range(n_rows):
+            _log.info(
+                f"{i + 1:9d} | {int(counts[i]):15d} | "
+                f"{float(means[i]):15.4f} | {float(stds[i]):15.4f}"
+            )
+        if converged:
+            _log.info("Convergence criteria fulfilled -> stop iteration!")
+
+        _log.info("Estimated transformation matrix H:")
+        for r in range(4):
+            _log.info(
+                f"[{H[r, 0]:12.6f} {H[r, 1]:12.6f} "
+                f"{H[r, 2]:12.6f} {H[r, 3]:12.6f}]"
+            )
+        _log.info(
+            "... which corresponds to the following rigid-body "
+            "transformation parameters:"
+        )
+        _log.info(
+            f"{'parameter':>9s} | "
+            f"{'est.value':>15s} | "
+            f"{'est.uncertainty':>15s} | "
+            f"{'obs.value':>15s} | "
+            f"{'obs.weight':>15s}"
+        )
+        for name in RBP_NAMES:
+            param = getattr(rbp, name)
+            _log.info(
+                f"{name:>9s} | "
+                f"{param.estimated_value_scaled:15.6f} | "
+                f"{param.estimated_uncertainty_scaled:15.6f} | "
+                f"{param.observed_value_scaled:15.6f} | "
+                f"{param.observation_weight:15.3e}"
+            )
+        _log.info(
+            "(Unit of est.value, est.uncertainty, and obs.value for "
+            "alpha1/2/3 is degree)"
+        )
+
+        if debug_dirpath:
+            self._write_debug_files(Path(debug_dirpath), result, X_mov_sel, n_done)
+
+        # Apply the final transformation permanently
+        # (/root/reference/python/simpleicp/simpleicp.py:316).
+        self.pc2.transform_by_H(H)
+
+        residual_mask = np.asarray(result.residual_mask)
+        distance_residuals = np.asarray(result.residuals)[residual_mask]
+
+        _log.info(f"Finished in {time.time() - start_time:.3f} seconds!")
+        return H, self.pc2.X, rbp, distance_residuals
+
+    def _write_debug_files(self, dirpath: Path, result, X_mov_sel: np.ndarray,
+                           n_done: int) -> None:
+        """Replay the reference's per-iteration CloudCompare debug dumps
+        (/root/reference/python/simpleicp/simpleicp.py:141-143,189-200,216-221,
+        317-320) from the recorded on-device trajectory."""
+        from .ops.transform import euler_angles_to_rotation_matrix
+
+        sel_valid = np.asarray(result.sel_valid)
+        Qfull = self.pc1.X[np.asarray(result.sel_idx)]  # (C,3), slot-aligned
+        write_xyz(dirpath / "iteration000_preoptim_pcfix.xyz", self.pc1.X)
+
+        ps = np.asarray(result.iter_ps)
+        midx = np.asarray(result.iter_midx)
+        masks = np.asarray(result.iter_masks)
+        dists = np.asarray(result.iter_dists)
+        p_prev = None
+        for it in range(n_done):
+            # pre-optim pcmov: movable transformed by the *incoming* H of
+            # iteration `it` (the previous iteration's estimate).
+            p_in = np.zeros(6) if it == 0 else p_prev
+            R = np.asarray(
+                euler_angles_to_rotation_matrix(p_in[0], p_in[1], p_in[2])
+            )
+            Xm_t = X_mov_sel @ R.T + p_in[3:6]
+            write_xyz(dirpath / f"iteration{it:03d}_preoptim_pcmov.xyz", Xm_t)
+            mask = masks[it] & sel_valid
+            write_correspondences_xyz(
+                dirpath / f"iteration{it:03d}_preoptim_correspondences.xyz",
+                Qfull[mask],
+                Xm_t[midx[it][mask]],
+                dists[it][mask],
+            )
+            p_prev = ps[it]
+
+        H = np.asarray(result.H)
+        Xm_final = X_mov_sel @ H[:3, :3].T + H[:3, 3]
+        write_xyz(
+            dirpath / f"iteration{max(n_done - 1, 0):03d}_postoptim_pcmov.xyz",
+            Xm_final,
+        )
+
+    @staticmethod
+    def _check_arguments(distance_weights, rbp_observed_values,
+                         rbp_observation_weights) -> None:
+        """Argument validation per
+        /root/reference/python/simpleicp/simpleicp.py:326-353."""
+        if distance_weights is not None and distance_weights <= 0:
+            raise SimpleICPException("distance_weights must be > 0.")
+        if len(rbp_observed_values) != 6:
+            raise SimpleICPException("rbp_observed_values must have exactly 6 elements.")
+        if len(rbp_observation_weights) != 6:
+            raise SimpleICPException(
+                "rbp_observation_weights must have exactly 6 elements."
+            )
+        if not all(w >= 0 for w in rbp_observation_weights):
+            raise SimpleICPException(
+                "All elements of rbp_observation_weights must be >= 0."
+            )
+        if not any(np.isfinite(rbp_observation_weights)):
+            raise SimpleICPException(
+                "At least one element in rbp_observation_weights must be finite."
+            )

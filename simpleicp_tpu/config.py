@@ -1,0 +1,89 @@
+"""Configuration for the ICP pipeline.
+
+Canonical defaults follow the reference contract shared by all five
+implementations (/root/reference/python/simpleicp/simpleicp.py:75-86,
+/root/reference/c++/src/simpleicp-cli.cpp:15-35, /root/reference/rust/src/icp.rs:13-38).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class IcpConfig:
+    """Static (trace-time) configuration of one ICP registration run.
+
+    All fields are Python scalars so a config hashes cleanly as a jit static
+    argument; per-run dynamic data (the clouds, observed parameter values)
+    are passed as arrays.
+
+    Attributes:
+        correspondences: number of points selected in the fixed cloud as
+            correspondence queries (reference default 1000).
+        neighbors: k for the normal-estimation k-NN neighborhood (default 10).
+        min_planarity: minimum planarity to keep a correspondence (default 0.3).
+        max_overlap_distance: overlap gate radius; ``inf`` disables the gate
+            (reference: negative/inf disables).
+        min_change: convergence threshold in percent on the change of
+            mean/std of the residual distances (default 1.0; note the Julia /
+            MATLAB reference variants default to 3 — SURVEY.md Q3).
+        max_iterations: maximum ICP iterations (default 100).
+        distance_weights: weight multiplying the point-to-plane residuals.
+            ``None`` means "automatic": 1/std(d)^2 estimated in iteration 0 and
+            frozen afterwards (/root/reference/python/simpleicp/simpleicp.py:229-234).
+        mad_scale: scale factor from MAD to a robust sigma. The reference
+            implementations disagree (SURVEY.md Q1): Python uses raw MAD
+            (scale 1.0), C++/Rust/Julia/MATLAB and the docs use 1.4826. We
+            default to 1.4826 (majority + documented behavior); set 1.0 for
+            bit-parity with the reference Python.
+        solver: "nonlinear" re-solves the six absolute parameters with an
+            exact-rotation Gauss-Newton inner loop every ICP iteration — the
+            behavioral superset matching reference Python semantics
+            (observations, frozen parameters, weights). "linearized" performs
+            one small-angle increment solve per iteration like the
+            C++/Rust/Julia/MATLAB family (SURVEY.md §2.8).
+        gn_iterations: inner Gauss-Newton steps for the "nonlinear" solver.
+        query_tile / ref_tile: tile sizes of the distance kernels.
+        use_pallas: use the Pallas NN kernel on TPU where applicable (falls
+            back to the lax kernel automatically off-TPU).
+    """
+
+    correspondences: int = 1000
+    neighbors: int = 10
+    min_planarity: float = 0.3
+    max_overlap_distance: float = math.inf
+    min_change: float = 1.0
+    max_iterations: int = 100
+    distance_weights: Optional[float] = 1.0
+    mad_scale: float = 1.4826
+    solver: str = "nonlinear"
+    gn_iterations: int = 8
+    query_tile: int = 2048
+    ref_tile: int = 4096
+    use_pallas: bool = True
+
+    def __post_init__(self):
+        if self.correspondences < 6:
+            raise ValueError("correspondences must be >= 6")
+        if self.neighbors < 3:
+            raise ValueError("neighbors must be >= 3 to estimate a normal")
+        if not 0.0 <= self.min_planarity < 1.0:
+            raise ValueError("min_planarity must be in [0, 1)")
+        if self.max_iterations < 1:
+            raise ValueError("max_iterations must be >= 1")
+        if self.distance_weights is not None and self.distance_weights <= 0:
+            raise ValueError("distance_weights must be > 0")
+        if self.solver not in ("nonlinear", "linearized"):
+            raise ValueError("solver must be 'nonlinear' or 'linearized'")
+
+    @property
+    def overlap_enabled(self) -> bool:
+        return math.isfinite(self.max_overlap_distance) and self.max_overlap_distance > 0
+
+
+DEFAULT_RBP = (0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+
+RBP_NAMES: Tuple[str, ...] = ("alpha1", "alpha2", "alpha3", "tx", "ty", "tz")

@@ -1,0 +1,401 @@
+"""The ICP driver: the full registration pipeline as one jitted program.
+
+The reference drivers run the pipeline as a host loop that rebuilds KD-trees,
+compacts arrays after rejection, and calls a host optimizer every iteration
+(/root/reference/python/simpleicp/simpleicp.py:75-324,
+/root/reference/c++/src/simpleicp.cpp:8-128). The TPU design compiles the
+*entire* algorithm — overlap gate, correspondence selection, normal
+estimation, and the match -> reject -> solve -> converge iteration as a
+`lax.while_loop` with statically shaped masked arrays — into a single XLA
+program, so one device launch performs the whole registration with on-device
+convergence.
+
+Pipeline stages (contract per SURVEY.md §1):
+  1. initial H from the observed rigid-body parameters (Q10: applied before
+     the overlap gate, like reference Python);
+  2. overlap gate: keep fixed points whose NN in the transformed movable
+     cloud lies within max_overlap_distance;
+  3. fixed-count selection: round(linspace) over the selected indices;
+  4. normals: k-NN neighborhoods + batched 3x3 eigendecomposition
+     (skipped when user-supplied normals exist — Q11);
+  5. iterate: NN match -> planarity gate -> median/MAD rejection ->
+     Gauss-Newton solve -> convergence on mean/std percent change.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import IcpConfig
+from ..ops.knn import knn_search, nn_search
+from ..ops.normals import estimate_normals_from_neighborhoods
+from ..ops.stats import masked_mad, masked_mean, masked_median, masked_std, pct_change
+from ..ops.transform import apply_H, rbp_to_H, rotation_matrix_to_euler_angles
+from .solver import estimate_uncertainties, gn_solve, linearized_solve
+
+# Error codes surfaced to the host (device code never raises).
+ERR_OK = 0
+ERR_NO_OVERLAP = 1
+ERR_TOO_FEW_CORRESPONDENCES = 2
+
+
+class IcpResult(NamedTuple):
+    """Raw (device-array) result of one registration run."""
+
+    H: jnp.ndarray                  # (4,4) final homogeneous transform
+    p: jnp.ndarray                  # (6,) alpha1..3 [rad], tx, ty, tz
+    uncertainties: jnp.ndarray      # (6,) a-posteriori sigmas (NaN if frozen)
+    n_iterations: jnp.ndarray       # scalar int32: executed ICP iterations
+    converged: jnp.ndarray          # scalar bool
+    error_code: jnp.ndarray         # scalar int32 (ERR_*)
+    iter_counts: jnp.ndarray        # (max_iterations,) int32 valid-corr counts
+    iter_means: jnp.ndarray         # (max_iterations,) residual means
+    iter_stds: jnp.ndarray          # (max_iterations,) residual stds
+    orig_count: jnp.ndarray         # scalar int32: the "orig:0" row
+    orig_mean: jnp.ndarray
+    orig_std: jnp.ndarray
+    residuals: jnp.ndarray          # (C,) final signed p2plane residuals
+    residual_mask: jnp.ndarray      # (C,) validity of `residuals`
+    distance_weight: jnp.ndarray    # resolved scalar distance weight
+    sel_idx: jnp.ndarray            # (C,) indices of selected fixed points
+    sel_valid: jnp.ndarray          # (C,) validity of sel_idx
+    normals: jnp.ndarray            # (C,3) normals at the selected points
+    planarity: jnp.ndarray          # (C,) planarity at the selected points
+    iter_ps: jnp.ndarray            # (T,6) parameter trajectory
+    iter_midx: jnp.ndarray          # (T,C) matched movable indices / iteration
+    iter_masks: jnp.ndarray         # (T,C) post-rejection validity / iteration
+    iter_dists: jnp.ndarray         # (T,C) pre-optim matched p2plane distances
+
+
+class _Carry(NamedTuple):
+    it: jnp.ndarray
+    p: jnp.ndarray
+    H: jnp.ndarray
+    dist_w: jnp.ndarray
+    converged: jnp.ndarray
+    error: jnp.ndarray
+    prev_mean: jnp.ndarray
+    prev_std: jnp.ndarray
+    iter_counts: jnp.ndarray
+    iter_means: jnp.ndarray
+    iter_stds: jnp.ndarray
+    orig_count: jnp.ndarray
+    orig_mean: jnp.ndarray
+    orig_std: jnp.ndarray
+    residuals: jnp.ndarray
+    residual_mask: jnp.ndarray
+    m_idx: jnp.ndarray
+    iter_ps: jnp.ndarray
+    iter_midx: jnp.ndarray
+    iter_masks: jnp.ndarray
+    iter_dists: jnp.ndarray
+
+
+def _select_n(sel_mask: jnp.ndarray, n: int):
+    """Fixed-count equidistant selection over the *indices* of selected points.
+
+    Reproduces select_n_points (/root/reference/python/simpleicp/pointcloud.py:132-147):
+    when more than n points are selected, pick round(linspace(0, n_sel-1, n))
+    positions among the compacted selected indices (jnp.round is half-to-even
+    like np.round); otherwise keep all selected points (validity-masked).
+
+    Returns (sel_idx (n,), valid (n,) bool).
+    """
+    nf = sel_mask.shape[0]
+    n_sel = jnp.sum(sel_mask)
+    compacted = jnp.nonzero(sel_mask, size=nf, fill_value=0)[0]
+    need_subsample = n_sel > n
+    span = jnp.maximum(n_sel - 1, 0).astype(jnp.float32)
+    lin = jnp.round(jnp.linspace(0.0, 1.0, n) * span).astype(jnp.int32)
+    seq = jnp.arange(n, dtype=jnp.int32)
+    pos = jnp.where(need_subsample, lin, jnp.minimum(seq, nf - 1))
+    valid = jnp.where(need_subsample, jnp.ones(n, bool), seq < n_sel)
+    sel_idx = compacted[jnp.clip(pos, 0, nf - 1)]
+    return sel_idx, valid
+
+
+def run_icp_loop(Q, normals, planarity, sel_valid, obs_vals, obs_w,
+                 cfg: IcpConfig, dtype, error0, H0, match_fn, gather_fn):
+    """The match -> reject -> solve -> converge iteration as a
+    `lax.while_loop`, shared by the single-chip and sharded (shard_map)
+    drivers. `match_fn(Ht) -> (m_idx, m_t, m_orig)` performs the NN matching
+    against the movable cloud transformed by Ht (with collectives in the
+    sharded case); `gather_fn(m_idx) -> (C,3)` fetches original-frame movable
+    points for the post-loop uncertainty estimate.
+
+    Returns (final_carry, uncertainties).
+    """
+    C = cfg.correspondences
+    T = cfg.max_iterations
+    auto_dw = cfg.distance_weights is None
+    dist_w0 = jnp.asarray(1.0 if auto_dw else cfg.distance_weights, dtype)
+    min_planarity = jnp.asarray(cfg.min_planarity, dtype)
+    nonlinear = cfg.solver == "nonlinear"
+
+    def cond(c: _Carry):
+        return (c.it < T) & (~c.converged) & (c.error == ERR_OK)
+
+    def body(c: _Carry) -> _Carry:
+        Ht = rbp_to_H(c.p) if nonlinear else c.H
+        m_idx, m_t, m_orig = match_fn(Ht)
+        d = jnp.sum((m_t - Q) * normals, axis=1)  # signed p2plane distances
+
+        # Reject: planarity gate first, then median/MAD band on the
+        # survivors (reference Python staging, SURVEY.md Q5).
+        mask_p = sel_valid & (planarity >= min_planarity)
+        med = masked_median(d, mask_p)
+        sigma = 3.0 * masked_mad(d, mask_p, scale=cfg.mad_scale)
+        mask = mask_p & (jnp.abs(d - med) <= sigma)
+
+        count = jnp.sum(mask).astype(jnp.int32)
+        err = jnp.where(count < 6, jnp.int32(ERR_TOO_FEW_CORRESPONDENCES), c.error)
+
+        is_first = c.it == 0
+        orig_count = jnp.where(is_first, count, c.orig_count)
+        orig_mean = jnp.where(is_first, masked_mean(d, mask), c.orig_mean)
+        orig_std = jnp.where(is_first, masked_std(d, mask), c.orig_std)
+
+        if auto_dw:
+            # 1/std^2 of the matched distances, estimated once in iteration 0
+            # and frozen (/root/reference/python/simpleicp/simpleicp.py:229-234).
+            dw = jnp.where(is_first, 1.0 / jnp.maximum(masked_std(d, mask), 1e-30) ** 2,
+                           c.dist_w)
+        else:
+            dw = c.dist_w
+
+        if nonlinear:
+            p_new, residuals = gn_solve(
+                c.p, m_orig, Q, normals, mask, dw, obs_vals, obs_w,
+                n_steps=cfg.gn_iterations,
+            )
+            H_new = rbp_to_H(p_new)
+        else:
+            dH, residuals, _ = linearized_solve(m_t, Q, normals, mask)
+            H_new = dH @ c.H  # dH * H composition (SURVEY.md Q2)
+            a1, a2, a3 = rotation_matrix_to_euler_angles(H_new)
+            p_new = jnp.concatenate(
+                [jnp.stack([a1, a2, a3]), H_new[:3, 3]]
+            )
+
+        mean = masked_mean(residuals, mask)
+        std = masked_std(residuals, mask)
+        converged = (
+            (c.it > 0)
+            & (pct_change(mean, c.prev_mean) < cfg.min_change)
+            & (pct_change(std, c.prev_std) < cfg.min_change)
+        )
+
+        # On error keep previous state (the reference raises before solving).
+        bad = err != ERR_OK
+        p_new = jnp.where(bad, c.p, p_new)
+        H_new = jnp.where(bad, c.H, H_new)
+
+        return _Carry(
+            it=c.it + 1,
+            p=p_new,
+            H=H_new,
+            dist_w=dw,
+            converged=converged & ~bad,
+            error=err,
+            prev_mean=mean,
+            prev_std=std,
+            iter_counts=c.iter_counts.at[c.it].set(count),
+            iter_means=c.iter_means.at[c.it].set(mean),
+            iter_stds=c.iter_stds.at[c.it].set(std),
+            orig_count=orig_count,
+            orig_mean=orig_mean,
+            orig_std=orig_std,
+            residuals=jnp.where(bad, c.residuals, residuals),
+            residual_mask=jnp.where(bad, c.residual_mask, mask),
+            m_idx=jnp.where(bad, c.m_idx, m_idx),
+            iter_ps=c.iter_ps.at[c.it].set(p_new),
+            iter_midx=c.iter_midx.at[c.it].set(m_idx),
+            iter_masks=c.iter_masks.at[c.it].set(mask),
+            iter_dists=c.iter_dists.at[c.it].set(d),
+        )
+
+    init = _Carry(
+        it=jnp.int32(0),
+        p=obs_vals.astype(dtype),
+        H=H0,
+        dist_w=dist_w0,
+        converged=jnp.bool_(False),
+        error=error0,
+        prev_mean=jnp.asarray(jnp.inf, dtype),
+        prev_std=jnp.asarray(jnp.inf, dtype),
+        iter_counts=jnp.zeros((T,), jnp.int32),
+        iter_means=jnp.zeros((T,), dtype),
+        iter_stds=jnp.zeros((T,), dtype),
+        orig_count=jnp.int32(0),
+        orig_mean=jnp.asarray(0.0, dtype),
+        orig_std=jnp.asarray(0.0, dtype),
+        residuals=jnp.zeros((C,), dtype),
+        residual_mask=jnp.zeros((C,), bool),
+        m_idx=jnp.zeros((C,), jnp.int32),
+        iter_ps=jnp.zeros((T, 6), dtype),
+        iter_midx=jnp.zeros((T, C), jnp.int32),
+        iter_masks=jnp.zeros((T, C), bool),
+        iter_dists=jnp.zeros((T, C), dtype),
+    )
+
+    final = jax.lax.while_loop(cond, body, init)
+
+    # A-posteriori uncertainties at the optimum on the last iteration's
+    # correspondences (/root/reference/python/simpleicp/optimization.py:126-170).
+    uncertainties = estimate_uncertainties(
+        final.p, gather_fn(final.m_idx), Q, normals, final.residual_mask,
+        final.dist_w, obs_vals, obs_w,
+    )
+    return final, uncertainties
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "has_normals"))
+def _icp_run(Xf, Xm, obs_vals, obs_w, normals_fix, planarity_fix,
+             *, cfg: IcpConfig, has_normals: bool) -> IcpResult:
+    dtype = Xf.dtype
+    C = cfg.correspondences
+    T = cfg.max_iterations
+    qt, rt = cfg.query_tile, cfg.ref_tile
+
+    H0 = rbp_to_H(obs_vals)
+    error = jnp.int32(ERR_OK)
+
+    # ---- Stage 2: overlap gate (static branch — cfg is trace-time) ----
+    if cfg.overlap_enabled:
+        Xm0 = apply_H(Xm, H0)
+        d2, _ = nn_search(Xf, Xm0, ref_tile=rt, query_tile=qt)
+        sel_mask = d2 <= jnp.asarray(cfg.max_overlap_distance, dtype) ** 2
+        error = jnp.where(jnp.any(sel_mask), error, jnp.int32(ERR_NO_OVERLAP))
+        # keep the device program well-defined even when empty:
+        sel_mask = jnp.where(jnp.any(sel_mask), sel_mask, jnp.ones_like(sel_mask))
+        # ---- Stage 3: fixed-count correspondence selection (dynamic) ----
+        sel_idx, sel_valid = _select_n(sel_mask, C)
+    else:
+        # No gate: the selection depends only on static shapes — resolve it
+        # with numpy at trace time (exact np.round/np.linspace semantics of
+        # /root/reference/python/simpleicp/pointcloud.py:141-147).
+        nf = Xf.shape[0]
+        if nf > C:
+            host_idx = np.round(np.linspace(0, nf - 1, C)).astype(np.int32)
+            sel_valid = jnp.ones(C, bool)
+        else:
+            host_idx = np.minimum(np.arange(C, dtype=np.int32), nf - 1)
+            sel_valid = jnp.asarray(np.arange(C) < nf)
+        sel_idx = jnp.asarray(host_idx)
+    Q = Xf[sel_idx]  # (C,3) fixed-side correspondence queries
+
+    # ---- Stage 4: normals on the selected points ----
+    if has_normals:
+        normals = normals_fix[sel_idx]
+        planarity = planarity_fix[sel_idx]
+    else:
+        _, idxk = knn_search(Q, Xf, cfg.neighbors, ref_tile=rt, query_tile=qt)
+        neigh = Xf[idxk]  # (C, k, 3)
+        normals, planarity, _ = estimate_normals_from_neighborhoods(neigh)
+
+    def match_fn(Ht):
+        Xm_t = apply_H(Xm, Ht)
+        # NN of each selected fixed point among transformed movable points
+        # (KD-tree rebuilt per iteration in the reference,
+        # /root/reference/python/simpleicp/corrpts.py:131-132 — here a fresh
+        # pass of the tiled distance kernel over the moved cloud).
+        _, m_idx = nn_search(Q, Xm_t, ref_tile=rt, query_tile=qt)
+        return m_idx, Xm_t[m_idx], Xm[m_idx]
+
+    def gather_fn(m_idx):
+        return Xm[m_idx]
+
+    final, uncertainties = run_icp_loop(
+        Q, normals, planarity, sel_valid, obs_vals, obs_w, cfg, dtype,
+        error, H0, match_fn, gather_fn,
+    )
+
+    return IcpResult(
+        H=final.H,
+        p=final.p,
+        uncertainties=uncertainties,
+        n_iterations=final.it,
+        converged=final.converged,
+        error_code=final.error,
+        iter_counts=final.iter_counts,
+        iter_means=final.iter_means,
+        iter_stds=final.iter_stds,
+        orig_count=final.orig_count,
+        orig_mean=final.orig_mean,
+        orig_std=final.orig_std,
+        residuals=final.residuals,
+        residual_mask=final.residual_mask,
+        distance_weight=final.dist_w,
+        sel_idx=sel_idx,
+        sel_valid=sel_valid,
+        normals=normals,
+        planarity=planarity,
+        iter_ps=final.iter_ps,
+        iter_midx=final.iter_midx,
+        iter_masks=final.iter_masks,
+        iter_dists=final.iter_dists,
+    )
+
+
+def icp_register(
+    X_fix,
+    X_mov,
+    cfg: IcpConfig = IcpConfig(),
+    *,
+    rbp_observed_values: Optional[np.ndarray] = None,
+    rbp_observation_weights: Optional[np.ndarray] = None,
+    normals_fix: Optional[np.ndarray] = None,
+    planarity_fix: Optional[np.ndarray] = None,
+    dtype=None,
+) -> IcpResult:
+    """Functional entry point: register X_mov onto X_fix.
+
+    Args:
+        X_fix: (nf, 3) fixed cloud.
+        X_mov: (nm, 3) movable cloud.
+        cfg: static pipeline configuration.
+        rbp_observed_values: (6,) observed parameter values — angles in
+            RADIANS here (the class API converts from degrees, mirroring
+            /root/reference/python/simpleicp/simpleicp.py:145-148).
+        rbp_observation_weights: (6,) weights; 0 free, finite>0 observed,
+            inf frozen.
+        normals_fix / planarity_fix: optional user-supplied per-point normals
+            (nf,3) and planarity (nf,) for the fixed cloud; when given,
+            normal estimation is skipped (SURVEY.md Q11).
+        dtype: computation dtype; defaults to f64 when jax x64 is enabled
+            (CPU parity runs) else f32 (TPU fast path).
+
+    Returns:
+        IcpResult of device arrays. Check `.error_code` (the class API raises
+        SimpleICPException for you).
+    """
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    Xf = jnp.asarray(X_fix, dtype)
+    Xm = jnp.asarray(X_mov, dtype)
+    if Xf.ndim != 2 or Xf.shape[1] != 3 or Xm.ndim != 2 or Xm.shape[1] != 3:
+        raise ValueError("point clouds must have shape (n, 3)")
+
+    obs_vals = (jnp.zeros(6, dtype) if rbp_observed_values is None
+                else jnp.asarray(rbp_observed_values, dtype))
+    obs_w = (jnp.zeros(6, dtype) if rbp_observation_weights is None
+             else jnp.asarray(rbp_observation_weights, dtype))
+
+    has_normals = normals_fix is not None
+    if has_normals:
+        normals_arr = jnp.asarray(normals_fix, dtype)
+        planarity_arr = (jnp.ones(Xf.shape[0], dtype) if planarity_fix is None
+                         else jnp.asarray(planarity_fix, dtype))
+    else:
+        normals_arr = jnp.zeros((1, 3), dtype)
+        planarity_arr = jnp.zeros((1,), dtype)
+
+    return _icp_run(
+        Xf, Xm, obs_vals, obs_w, normals_arr, planarity_arr,
+        cfg=cfg, has_normals=has_normals,
+    )

@@ -1,0 +1,267 @@
+"""Rigid-body parameter estimation: on-chip Gauss-Newton solvers.
+
+The reference Python runs lmfit/scipy `least_squares` (finite-difference
+Jacobians, host loop) every ICP iteration
+(/root/reference/python/simpleicp/optimization.py:92-101); the native
+reference family solves one linearized n x 6 least-squares via SVD per
+iteration (/root/reference/c++/src/corrpts.cpp:110-156,
+/root/reference/rust/src/icp.rs:310-347). Here both solver families are
+closed-form on-device reductions:
+
+  * `gn_solve` — a fixed-length Gauss-Newton inner loop over the six absolute
+    parameters with the exact Euler rotation and analytic (jacfwd) Jacobians,
+    masked J^T W J / J^T W r 6x6 normal equations, weighted parameter
+    observations, and inf-weight (frozen) parameter elimination. This
+    reproduces the reference Python semantics (the behavioral superset).
+  * `linearized_solve` — the small-angle single-step solve of the
+    C++/Rust/Julia/MATLAB family.
+
+Everything is statically shaped: rejected correspondences participate with
+weight zero, so these functions run inside `lax.while_loop` / `shard_map`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.transform import (
+    euler_angles_to_linearized_rotation_matrix,
+    euler_angles_to_rotation_matrix,
+    make_H,
+)
+
+
+def point_to_plane_residuals(p: jnp.ndarray, xm: jnp.ndarray, xf: jnp.ndarray,
+                             n: jnp.ndarray) -> jnp.ndarray:
+    """Signed point-to-plane distances d_i = (R(p) xm_i + t - xf_i) . n_i.
+
+    Matches the residual definition of
+    /root/reference/python/simpleicp/optimization.py:245-267 (movable point
+    transformed by the exact rotation, dotted with the fixed normal).
+    """
+    R = euler_angles_to_rotation_matrix(p[0], p[1], p[2])
+    xt = xm @ R.T + p[3:6]
+    return jnp.sum((xt - xf) * n, axis=1)
+
+
+def _masked_normal_equations(J, r, row_w2):
+    """N = J^T diag(w2) J (6x6), b = J^T diag(w2) r (6,)."""
+    Jw = J * row_w2[:, None]
+    N = J.T @ Jw
+    b = Jw.T @ r
+    return N, b
+
+
+def _restrict_to_varying(N, b, vary_f):
+    """Eliminate frozen parameters: zero their rows/cols, unit diagonal,
+    zero rhs — their Gauss-Newton update is exactly zero."""
+    N = N * vary_f[:, None] * vary_f[None, :] + jnp.diag(1.0 - vary_f)
+    b = b * vary_f
+    return N, b
+
+
+def gn_solve(p0: jnp.ndarray, xm: jnp.ndarray, xf: jnp.ndarray, n: jnp.ndarray,
+             mask: jnp.ndarray, distance_weight: jnp.ndarray,
+             obs_vals: jnp.ndarray, obs_w: jnp.ndarray, *, n_steps: int = 8):
+    """Gauss-Newton estimate of the six absolute rigid-body parameters.
+
+    Args:
+        p0: (6,) warm-start parameters (previous ICP iteration's estimate).
+        xm: (C, 3) movable-cloud points of the correspondences, in the
+            *original* (untransformed) frame — the nonlinear family
+            re-estimates absolute parameters each iteration
+            (/root/reference/python/simpleicp/simpleicp.py:188-202 only
+            transforms temporarily for matching).
+        xf, n: (C, 3) fixed points and unit normals of the correspondences.
+        mask: (C,) validity after outlier rejection; rejected rows get zero
+            weight instead of being compacted away.
+        distance_weight: scalar w_d multiplying distance residuals.
+        obs_vals: (6,) observed parameter values (radians for the angles).
+        obs_w: (6,) observation weights; 0 = unobserved, finite > 0 = weighted
+            observation row, +inf = frozen at the observed value (lmfit
+            vary=False, /root/reference/python/simpleicp/optimization.py:78-90).
+
+    Returns:
+        (p, residuals): (6,) estimates and (C,) unweighted signed
+        point-to-plane distances at the optimum.
+    """
+    dtype = xm.dtype
+    vary = jnp.isfinite(obs_w)
+    vary_f = vary.astype(dtype)
+    is_obs = (obs_w > 0) & vary
+    obs_w2 = jnp.where(is_obs, obs_w, 0.0) ** 2
+    p_start = jnp.where(vary, p0, obs_vals)
+    w2 = jnp.where(mask, distance_weight * distance_weight, 0.0).astype(dtype)
+
+    def residual_fn(p):
+        return point_to_plane_residuals(p, xm, xf, n)
+
+    def step(p, _):
+        r = residual_fn(p)
+        J = jax.jacfwd(residual_fn)(p)
+        N, b = _masked_normal_equations(J, r, w2)
+        N = N + jnp.diag(obs_w2)
+        b = b + obs_w2 * (p - obs_vals)
+        N, b = _restrict_to_varying(N, b, vary_f)
+        delta = jnp.linalg.solve(N, b)
+        return p - delta, None
+
+    p_final, _ = jax.lax.scan(step, p_start, None, length=n_steps)
+    residuals = residual_fn(p_final)
+    return p_final, residuals
+
+
+def linearized_solve(xm_t: jnp.ndarray, xf: jnp.ndarray, n: jnp.ndarray,
+                     mask: jnp.ndarray):
+    """Single small-angle increment solve on already-transformed points.
+
+    Row structure follows the shared linearized design
+    (/root/reference/c++/src/corrpts.cpp:132-139,
+    /root/reference/rust/src/icp.rs:310-347):
+        A_i = [-z ny + y nz,  z nx - x nz,  -y nx + x ny,  nx, ny, nz]
+        l_i = n_i . (xf_i - xm_t_i)
+
+    Returns:
+        (dH, residuals): the 4x4 increment (linearized rotation, SURVEY.md Q2
+        composition is dH @ H) and the post-solve linear residuals A x - l.
+    """
+    dtype = xm_t.dtype
+    x, y, z = xm_t[:, 0], xm_t[:, 1], xm_t[:, 2]
+    nx, ny, nz = n[:, 0], n[:, 1], n[:, 2]
+    A = jnp.stack(
+        [-z * ny + y * nz, z * nx - x * nz, -y * nx + x * ny, nx, ny, nz], axis=1
+    )
+    l = jnp.sum(n * (xf - xm_t), axis=1)
+    w = mask.astype(dtype)
+    N, b = _masked_normal_equations(A, l, w)
+    sol = jnp.linalg.solve(N, b)
+    residuals = A @ sol - l
+    dR = euler_angles_to_linearized_rotation_matrix(sol[0], sol[1], sol[2])
+    dH = make_H(dR, sol[3:6])
+    return dH, residuals, sol
+
+
+def estimate_uncertainties(p: jnp.ndarray, xm: jnp.ndarray, xf: jnp.ndarray,
+                           n: jnp.ndarray, mask: jnp.ndarray,
+                           distance_weight: jnp.ndarray, obs_vals: jnp.ndarray,
+                           obs_w: jnp.ndarray):
+    """A-posteriori standard deviations of the varying parameters.
+
+    Reproduces /root/reference/python/simpleicp/optimization.py:126-170
+    exactly, including its use of the weight *multipliers* (not their
+    squares) as the weight matrix P:
+        N   = A^T P A over varying columns, P = diag([w_d ..., obs_w ...])
+        vPv = sum(P r_unweighted^2)
+        s0  = sqrt(vPv / (num_obs - num_prm)),  Cxx = s0^2 N^-1
+
+    Returns (6,) uncertainties with NaN at frozen parameters.
+    """
+    dtype = xm.dtype
+    vary = jnp.isfinite(obs_w)
+    vary_f = vary.astype(dtype)
+    is_obs = (obs_w > 0) & vary
+
+    def residual_fn(pp):
+        return point_to_plane_residuals(pp, xm, xf, n)
+
+    r = residual_fn(p)
+    J = jax.jacfwd(residual_fn)(p)
+    w_rows = jnp.where(mask, distance_weight, 0.0).astype(dtype)
+    N = J.T @ (J * w_rows[:, None])
+    N = N + jnp.diag(jnp.where(is_obs, obs_w, 0.0))
+    N = N * vary_f[:, None] * vary_f[None, :] + jnp.diag(1.0 - vary_f)
+    Qxx = jnp.linalg.inv(N)
+
+    vPv = jnp.sum(w_rows * r * r) + jnp.sum(
+        jnp.where(is_obs, obs_w * (p - obs_vals) ** 2, 0.0)
+    )
+    num_obs = jnp.sum(mask) + jnp.sum(is_obs)
+    num_prm = jnp.sum(vary)
+    s0_sq = vPv / jnp.maximum(num_obs - num_prm, 1)
+    sigma = jnp.sqrt(s0_sq * jnp.diagonal(Qxx))
+    return jnp.where(vary, sigma, jnp.nan)
+
+
+# ---------------------------------------------------------------------------
+# Host-side parameter containers (API parity with the reference's dataclasses,
+# /root/reference/python/simpleicp/optimization.py:291-382).
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class Parameter:
+    """A single rigid-body transformation parameter."""
+
+    initial_value: float = np.nan
+    observed_value: float = np.nan
+    observation_weight: float = np.nan
+    estimated_value: float = np.nan
+    estimated_uncertainty: float = np.nan
+    scale_for_logging: float = 1.0
+
+    @property
+    def initial_value_scaled(self):
+        return self.initial_value * self.scale_for_logging
+
+    @property
+    def observed_value_scaled(self):
+        return self.observed_value * self.scale_for_logging
+
+    @property
+    def estimated_value_scaled(self):
+        return self.estimated_value * self.scale_for_logging
+
+    @property
+    def estimated_uncertainty_scaled(self):
+        return self.estimated_uncertainty * self.scale_for_logging
+
+
+def _angle_param():
+    return Parameter(scale_for_logging=180.0 / np.pi)
+
+
+@dataclasses.dataclass
+class RigidBodyParameters:
+    """The six rigid-body transformation parameters (angles stored in
+    radians; logged in degrees via scale_for_logging)."""
+
+    alpha1: Parameter = dataclasses.field(default_factory=_angle_param)
+    alpha2: Parameter = dataclasses.field(default_factory=_angle_param)
+    alpha3: Parameter = dataclasses.field(default_factory=_angle_param)
+    tx: Parameter = dataclasses.field(default_factory=Parameter)
+    ty: Parameter = dataclasses.field(default_factory=Parameter)
+    tz: Parameter = dataclasses.field(default_factory=Parameter)
+
+    @property
+    def H(self) -> np.ndarray:
+        """4x4 homogeneous transform built from the estimated values
+        (host-side float64, independent of the device dtype)."""
+        a1, a2, a3, tx, ty, tz = self.get_parameter_attributes_as_list(
+            "estimated_value"
+        )
+        c1, s1 = np.cos(a1), np.sin(a1)
+        c2, s2 = np.cos(a2), np.sin(a2)
+        c3, s3 = np.cos(a3), np.sin(a3)
+        H = np.eye(4)
+        H[:3, :3] = [
+            [c2 * c3, -c2 * s3, s2],
+            [c1 * s3 + s1 * s2 * c3, c1 * c3 - s1 * s2 * s3, -s1 * c2],
+            [s1 * s3 - c1 * s2 * c3, s1 * c3 + c1 * s2 * s3, c1 * c2],
+        ]
+        H[:3, 3] = [tx, ty, tz]
+        return H
+
+    def _params(self):
+        return (self.alpha1, self.alpha2, self.alpha3, self.tx, self.ty, self.tz)
+
+    def set_parameter_attributes_from_list(self, attribute_name: str, array) -> None:
+        for param, value in zip(self._params(), array):
+            setattr(param, attribute_name, float(value))
+
+    def get_parameter_attributes_as_list(self, attribute_name: str) -> List[float]:
+        return [getattr(param, attribute_name) for param in self._params()]

@@ -1,0 +1,385 @@
+"""Sharded ICP: the full registration pipeline running SPMD over a device mesh.
+
+Both clouds are sharded over the 1-D `points` mesh axis (equal per-device
+blocks, validity-mask padded); everything per-correspondence (C ~ 1000 slots)
+is replicated. The heavy kernels run on local shards and combine with
+collectives:
+
+  * overlap gate — a ring pass: each device holds its fixed-cloud block as
+    queries and streams the movable-cloud blocks around the ring with
+    `ppermute`, keeping a running min distance (the "ring-attention-shaped
+    dataflow, but for distance minima" of SURVEY.md §5);
+  * fixed-count selection — a distributed exclusive-scan of the selection
+    mask gives each selected point its global rank; the round(linspace) pick
+    becomes a per-point membership test, and the winners are scattered into
+    replicated (C, .) buffers with a `psum`;
+  * normal-estimation kNN — local top-k per shard, `all_gather` of the
+    (C, k) candidate sets, merge top-k;
+  * per-iteration NN matching — local argmin per shard + `all_gather` of the
+    (C,) winners, global argmin; the matched rows are fetched from the owning
+    shard by a masked-scatter `psum` gather;
+  * the solver, statistics, and convergence logic are replicated C-sized math
+    (reusing models.icp.run_icp_loop verbatim — the shared loop takes the
+    matching strategy as a function).
+
+The reference has no distributed implementation of any kind; this module is
+new design (BASELINE.json north star: fixed cloud sharded per host, psum'd
+normal equations, on-device convergence).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..config import IcpConfig
+from ..models.icp import (
+    ERR_NO_OVERLAP,
+    ERR_OK,
+    IcpResult,
+    run_icp_loop,
+)
+from ..ops.knn import knn_search, nn_search
+from ..ops.normals import estimate_normals_from_neighborhoods
+from ..ops.transform import apply_H, rbp_to_H
+from .mesh import POINTS_AXIS, make_mesh
+
+
+def _pad_to(X: np.ndarray, n_total: int, fill=0.0):
+    n = X.shape[0]
+    if n == n_total:
+        return X
+    pad = np.full((n_total - n,) + X.shape[1:], fill, dtype=X.dtype)
+    return np.concatenate([X, pad], axis=0)
+
+
+# --------------------------------------------------------------------------
+# collective building blocks (run inside shard_map; `axis` is the mesh axis)
+# --------------------------------------------------------------------------
+
+def _combine_nn(d2_local, gidx_local, axis):
+    """Combine per-shard NN winners into the global winner (replicated).
+
+    Ties resolve to the lowest device index = lowest global row index
+    (shards are contiguous blocks), matching the serial kernel.
+    """
+    all_d2 = lax.all_gather(d2_local, axis)      # (ndev, C)
+    all_idx = lax.all_gather(gidx_local, axis)   # (ndev, C)
+    win = jnp.argmin(all_d2, axis=0)
+    d2 = jnp.take_along_axis(all_d2, win[None], 0)[0]
+    idx = jnp.take_along_axis(all_idx, win[None], 0)[0]
+    return d2, idx
+
+
+def _gather_rows(local_block, gidx, axis):
+    """Fetch rows of a ('points',)-sharded array by global index into a
+    replicated buffer: each device contributes the rows it owns via a masked
+    scatter, then one psum. gidx: (n,) int32; local_block: (rows, d)."""
+    rows = local_block.shape[0]
+    me = lax.axis_index(axis)
+    owner = gidx // rows
+    local_row = gidx % rows
+    mine = owner == me
+    contrib = jnp.where(
+        mine[:, None], local_block[jnp.where(mine, local_row, 0)], 0.0
+    )
+    return lax.psum(contrib, axis)
+
+
+def _ring_min_dist2(Qf_local, f_valid, Xm_local, m_valid, axis, ndev,
+                    ref_tile, query_tile):
+    """Min squared distance from each local fixed point to ANY movable point,
+    streaming movable blocks around the ring (ppermute) — the overlap gate.
+    """
+    perm = [(i, (i + 1) % ndev) for i in range(ndev)]
+
+    def step(s, carry):
+        best, block, bmask = carry
+        d2, _ = nn_search(
+            Qf_local, block, ref_tile=ref_tile, query_tile=query_tile,
+            ref_mask=bmask,
+        )
+        best = jnp.minimum(best, d2)
+        block = lax.ppermute(block, axis, perm)
+        bmask = lax.ppermute(bmask, axis, perm)
+        return best, block, bmask
+
+    best0 = jnp.full((Qf_local.shape[0],), jnp.inf, Qf_local.dtype)
+    best, _, _ = lax.fori_loop(0, ndev, step, (best0, Xm_local, m_valid))
+    return jnp.where(f_valid, best, jnp.inf)
+
+
+def _sharded_select_n(sel_local, Xf_local, C, axis, ndev, dtype):
+    """Distributed fixed-count equidistant selection.
+
+    Gives every selected point its global rank via a cross-device exclusive
+    scan, then tests membership in the round(linspace(0, n_sel-1, C)) pick
+    set analytically (at most one linspace slot can round to a given rank
+    because the subsampling stride exceeds 1), and scatters the winners into
+    replicated (C, .) buffers with psum. Exactly reproduces
+    /root/reference/python/simpleicp/pointcloud.py:141-147 under sharding.
+
+    Returns (Q (C,3) replicated, sel_gidx (C,), valid (C,), n_sel).
+    """
+    rows = sel_local.shape[0]
+    me = lax.axis_index(axis)
+    counts = lax.all_gather(jnp.sum(sel_local), axis)  # (ndev,)
+    offset = jnp.sum(jnp.where(jnp.arange(ndev) < me, counts, 0))
+    n_sel = jnp.sum(counts)
+
+    rank = jnp.cumsum(sel_local) - 1 + offset  # global rank of each sel point
+
+    need_sub = n_sel > C
+    span = jnp.maximum(n_sel - 1, 1).astype(dtype)
+    denom = jnp.asarray(C - 1, dtype)
+
+    def hits(j):
+        v = jnp.round(j.astype(dtype) * span / denom)
+        return (v == rank.astype(dtype)) & (j >= 0) & (j < C)
+
+    j0 = jnp.floor(rank.astype(dtype) * denom / span).astype(jnp.int32)
+    hit0 = hits(j0)
+    hit1 = hits(j0 + 1)
+    chosen_sub = hit0 | hit1
+    slot_sub = jnp.where(hit0, j0, j0 + 1)
+
+    chosen = sel_local & jnp.where(need_sub, chosen_sub, rank < C)
+    slot = jnp.where(need_sub, slot_sub, rank.astype(jnp.int32))
+    slot = jnp.where(chosen, slot, C)  # out-of-range -> dropped by scatter
+
+    Q = (
+        jnp.zeros((C, 3), dtype)
+        .at[slot]
+        .add(Xf_local, mode="drop")
+    )
+    gidx_local = me * rows + jnp.arange(rows, dtype=jnp.int32)
+    sel_gidx = (
+        jnp.zeros((C,), jnp.int32)
+        .at[slot]
+        .add(jnp.where(chosen, gidx_local, 0), mode="drop")
+    )
+    Q = lax.psum(Q, axis)
+    sel_gidx = lax.psum(sel_gidx, axis)
+    valid = jnp.where(
+        need_sub, jnp.ones(C, bool), jnp.arange(C) < n_sel
+    )
+    return Q, sel_gidx, valid, n_sel
+
+
+def _sharded_knn(Q, Xf_local, f_valid, k, axis, ndev, ref_tile, query_tile):
+    """k-NN of replicated queries against the sharded fixed cloud: local
+    top-k per shard, all_gather, merge. Returns global (C, k) indices."""
+    rows = Xf_local.shape[0]
+    me = lax.axis_index(axis)
+    d2_l, idx_l = knn_search(
+        Q, Xf_local, k, ref_tile=ref_tile, query_tile=query_tile,
+        ref_mask=f_valid,
+    )
+    gidx_l = idx_l + me * rows
+    all_d2 = lax.all_gather(d2_l, axis)    # (ndev, C, k)
+    all_idx = lax.all_gather(gidx_l, axis)
+    C = Q.shape[0]
+    cand_d = jnp.moveaxis(all_d2, 0, 1).reshape(C, ndev * k)
+    cand_i = jnp.moveaxis(all_idx, 0, 1).reshape(C, ndev * k)
+    neg_top, pos = lax.top_k(-cand_d, k)
+    idx = jnp.take_along_axis(cand_i, pos, axis=1)
+    return -neg_top, idx
+
+
+# --------------------------------------------------------------------------
+# the sharded pipeline
+# --------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "has_normals", "mesh", "ndev")
+)
+def _icp_run_sharded(Xf, f_valid, Xm, m_valid, obs_vals, obs_w,
+                     normals_fix, planarity_fix,
+                     *, cfg: IcpConfig, has_normals: bool,
+                     mesh: jax.sharding.Mesh, ndev: int) -> IcpResult:
+    axis = mesh.axis_names[0]
+    qt, rt = cfg.query_tile, cfg.ref_tile
+    C = cfg.correspondences
+
+    def spmd(Xf_l, fv_l, Xm_l, mv_l, obs_vals, obs_w, nrm_l, pla_l):
+        dtype = Xf_l.dtype
+        mrows = Xm_l.shape[0]
+        frows = Xf_l.shape[0]
+        me = lax.axis_index(axis)
+
+        H0 = rbp_to_H(obs_vals)
+        error = jnp.int32(ERR_OK)
+
+        # ---- overlap gate (ring pass over movable shards) ----
+        if cfg.overlap_enabled:
+            Xm0_l = apply_H(Xm_l, H0)
+            d2 = _ring_min_dist2(Xf_l, fv_l, Xm0_l, mv_l, axis, ndev, rt, qt)
+            sel_l = fv_l & (d2 <= jnp.asarray(cfg.max_overlap_distance, dtype) ** 2)
+            any_sel = lax.psum(jnp.sum(sel_l), axis) > 0
+            error = jnp.where(any_sel, error, jnp.int32(ERR_NO_OVERLAP))
+            sel_l = jnp.where(any_sel, sel_l, fv_l)
+        else:
+            sel_l = fv_l
+
+        # ---- distributed fixed-count selection ----
+        Q, sel_gidx, sel_valid, _ = _sharded_select_n(
+            sel_l, Xf_l, C, axis, ndev, dtype
+        )
+
+        # ---- normals ----
+        if has_normals:
+            normals = _gather_rows(nrm_l, sel_gidx, axis)
+            planarity = _gather_rows(pla_l[:, None], sel_gidx, axis)[:, 0]
+        else:
+            _, idxk = _sharded_knn(Q, Xf_l, fv_l, cfg.neighbors, axis, ndev, rt, qt)
+            flat = idxk.reshape(-1)
+            neigh = _gather_rows(Xf_l, flat, axis).reshape(C, cfg.neighbors, 3)
+            normals, planarity, _ = estimate_normals_from_neighborhoods(neigh)
+
+        # ---- the shared ICP loop with a collective matcher ----
+        def match_fn(Ht):
+            Xm_t_l = apply_H(Xm_l, Ht)
+            d2_l, idx_l = nn_search(
+                Q, Xm_t_l, ref_tile=rt, query_tile=qt, ref_mask=mv_l
+            )
+            _, m_idx = _combine_nn(d2_l, idx_l + me * mrows, axis)
+            m_t = _gather_rows(Xm_t_l, m_idx, axis)
+            m_orig = _gather_rows(Xm_l, m_idx, axis)
+            return m_idx, m_t, m_orig
+
+        def gather_fn(m_idx):
+            return _gather_rows(Xm_l, m_idx, axis)
+
+        final, uncertainties = run_icp_loop(
+            Q, normals, planarity, sel_valid, obs_vals, obs_w, cfg, dtype,
+            error, H0, match_fn, gather_fn,
+        )
+
+        return IcpResult(
+            H=final.H,
+            p=final.p,
+            uncertainties=uncertainties,
+            n_iterations=final.it,
+            converged=final.converged,
+            error_code=final.error,
+            iter_counts=final.iter_counts,
+            iter_means=final.iter_means,
+            iter_stds=final.iter_stds,
+            orig_count=final.orig_count,
+            orig_mean=final.orig_mean,
+            orig_std=final.orig_std,
+            residuals=final.residuals,
+            residual_mask=final.residual_mask,
+            distance_weight=final.dist_w,
+            sel_idx=sel_gidx,
+            sel_valid=sel_valid,
+            normals=normals,
+            planarity=planarity,
+            iter_ps=final.iter_ps,
+            iter_midx=final.iter_midx,
+            iter_masks=final.iter_masks,
+            iter_dists=final.iter_dists,
+        )
+
+    sharded = P(axis)
+    sharded2d = P(axis, None)
+    rep = P()
+    out_specs = IcpResult(
+        H=rep, p=rep, uncertainties=rep, n_iterations=rep, converged=rep,
+        error_code=rep, iter_counts=rep, iter_means=rep, iter_stds=rep,
+        orig_count=rep, orig_mean=rep, orig_std=rep, residuals=rep,
+        residual_mask=rep, distance_weight=rep, sel_idx=rep, sel_valid=rep,
+        normals=rep, planarity=rep, iter_ps=rep, iter_midx=rep,
+        iter_masks=rep, iter_dists=rep,
+    )
+    return shard_map(
+        spmd,
+        mesh=mesh,
+        in_specs=(sharded2d, sharded, sharded2d, sharded, rep, rep,
+                  sharded2d, sharded),
+        out_specs=out_specs,
+        check_vma=False,
+    )(Xf, f_valid, Xm, m_valid, obs_vals, obs_w, normals_fix, planarity_fix)
+
+
+def icp_register_sharded(
+    X_fix,
+    X_mov,
+    cfg: IcpConfig = IcpConfig(),
+    *,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    rbp_observed_values=None,
+    rbp_observation_weights=None,
+    normals_fix=None,
+    planarity_fix=None,
+    dtype=None,
+) -> IcpResult:
+    """Multi-chip registration: same contract as models.icp.icp_register,
+    with both clouds sharded over `mesh` (defaults to all devices).
+
+    Note: `sel_idx` / `iter_midx` in the result index into the *padded*
+    clouds; padding rows are never selected (validity masks), and pad indices
+    equal real indices because padding is appended at the tail.
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    ndev = int(np.prod(mesh.devices.shape))
+    axis = mesh.axis_names[0]
+
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    np_dtype = np.dtype(dtype.dtype if hasattr(dtype, "dtype") else dtype)
+
+    Xf = np.asarray(X_fix, np_dtype)
+    Xm = np.asarray(X_mov, np_dtype)
+    nf, nm = Xf.shape[0], Xm.shape[0]
+    nf_pad = -(-nf // ndev) * ndev
+    nm_pad = -(-nm // ndev) * ndev
+
+    f_valid = np.zeros(nf_pad, bool)
+    f_valid[:nf] = True
+    m_valid = np.zeros(nm_pad, bool)
+    m_valid[:nm] = True
+    Xf = _pad_to(Xf, nf_pad)
+    Xm = _pad_to(Xm, nm_pad)
+
+    obs_vals = (np.zeros(6, np_dtype) if rbp_observed_values is None
+                else np.asarray(rbp_observed_values, np_dtype))
+    obs_w = (np.zeros(6, np_dtype) if rbp_observation_weights is None
+             else np.asarray(rbp_observation_weights, np_dtype))
+
+    has_normals = normals_fix is not None
+    if has_normals:
+        nrm = _pad_to(np.asarray(normals_fix, np_dtype), nf_pad)
+        pla = _pad_to(
+            np.ones(nf, np_dtype) if planarity_fix is None
+            else np.asarray(planarity_fix, np_dtype),
+            nf_pad,
+        )
+    else:
+        nrm = np.zeros((nf_pad, 3), np_dtype)
+        pla = np.zeros((nf_pad,), np_dtype)
+
+    shard1 = NamedSharding(mesh, P(axis))
+    shard2 = NamedSharding(mesh, P(axis, None))
+    rep = NamedSharding(mesh, P())
+    args = (
+        jax.device_put(Xf, shard2),
+        jax.device_put(f_valid, shard1),
+        jax.device_put(Xm, shard2),
+        jax.device_put(m_valid, shard1),
+        jax.device_put(jnp.asarray(obs_vals), rep),
+        jax.device_put(jnp.asarray(obs_w), rep),
+        jax.device_put(nrm, shard2),
+        jax.device_put(pla, shard1),
+    )
+    return _icp_run_sharded(
+        *args, cfg=cfg, has_normals=has_normals, mesh=mesh, ndev=ndev
+    )

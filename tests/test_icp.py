@@ -1,0 +1,143 @@
+"""End-to-end registration tests against the reference's recorded oracles.
+
+Oracles (BASELINE.md):
+  * Dragon final H from the reference C++ run (/root/reference/README.md:158-162).
+  * Bunny final H from the reference Python run (~10 deg rotation about z).
+  * Rust test oracle: converged before max_iterations and
+    |mean_residual_last| < |mean_residual_first|
+    (/root/reference/rust/tests/integration.rs:13-47).
+"""
+
+import numpy as np
+import pytest
+
+from simpleicp_tpu import IcpConfig, icp_register
+from simpleicp_tpu.models import icp as icp_core
+
+DRAGON_H_REF = np.array(
+    [
+        [0.998696, 0.052621, -0.034179, -0.206737],
+        [-0.052090, 0.999028, 0.020119, -0.408088],
+        [0.034822, -0.018663, 0.999436, -0.593361],
+        [0.0, 0.0, 0.0, 1.0],
+    ]
+)
+
+BUNNY_H_REF = np.array(
+    [
+        [0.984798, -0.173702, -0.000053, 0.000676],
+        [0.173702, 0.984798, 0.000084, -0.001150],
+        [0.000038, -0.000092, 1.000000, 0.000113],
+        [0.0, 0.0, 0.0, 1.0],
+    ]
+)
+
+
+def _angular_error_deg(R1, R2):
+    cos = (np.trace(R1.T @ R2) - 1) / 2
+    return np.degrees(np.arccos(np.clip(cos, -1, 1)))
+
+
+def _nn_rmse(H, X_mov, X_fix, step=20):
+    """Post-registration NN-RMSE of a movable subsample — the
+    implementation-independent quality metric (the reference oracles are
+    themselves early-stopped, so parameter-exact comparison is meaningless
+    beyond the convergence basin)."""
+    from simpleicp_tpu.ops.knn import nn_search
+
+    sub = X_mov[::step]
+    Xt = sub @ H[:3, :3].T + H[:3, 3]
+    d2, _ = nn_search(Xt, X_fix)
+    return float(np.sqrt(np.mean(np.asarray(d2))))
+
+
+@pytest.mark.parametrize("solver", ["nonlinear", "linearized"])
+def test_dragon_registration(dragon, solver):
+    X_fix, X_mov = dragon
+    cfg = IcpConfig(solver=solver)
+    res = icp_register(X_fix, X_mov, cfg)
+    assert int(res.error_code) == icp_core.ERR_OK
+    assert bool(res.converged)
+    n = int(res.n_iterations)
+    assert n < cfg.max_iterations
+    H = np.asarray(res.H)
+    # same convergence basin as the reference C++ oracle ...
+    assert _angular_error_deg(H[:3, :3], DRAGON_H_REF[:3, :3]) < 0.5
+    np.testing.assert_allclose(H[:3, 3], DRAGON_H_REF[:3, 3], atol=2e-2)
+    # ... and at least as good an alignment as the oracle's H
+    assert _nn_rmse(H, X_mov, X_fix) <= _nn_rmse(DRAGON_H_REF, X_mov, X_fix)
+    # Rust-style oracle: residual spread shrinks
+    stds = np.asarray(res.iter_stds)[:n]
+    assert stds[-1] < np.asarray(res.orig_std)
+    assert abs(np.asarray(res.iter_means)[n - 1]) < abs(np.asarray(res.orig_mean)) + 1e-9
+
+
+def test_bunny_partial_overlap(bunny):
+    X_fix, X_mov = bunny
+    cfg = IcpConfig(max_overlap_distance=1.0)
+    res = icp_register(X_fix, X_mov, cfg)
+    assert int(res.error_code) == icp_core.ERR_OK
+    assert bool(res.converged)
+    H = np.asarray(res.H)
+    assert _angular_error_deg(H[:3, :3], BUNNY_H_REF[:3, :3]) < 0.5
+    np.testing.assert_allclose(H[:3, 3], BUNNY_H_REF[:3, 3], atol=2e-2)
+    assert _nn_rmse(H, X_mov, X_fix, step=5) <= 1.05 * _nn_rmse(
+        BUNNY_H_REF, X_mov, X_fix, step=5
+    )
+
+
+def test_bunny_no_overlap_raises_flag(bunny):
+    X_fix, X_mov = bunny
+    # Shift the movable cloud far away: nothing within the gate radius
+    res = icp_register(X_fix, X_mov + 1000.0, IcpConfig(max_overlap_distance=1.0))
+    assert int(res.error_code) == icp_core.ERR_NO_OVERLAP
+
+
+def test_synthetic_known_transform(rng):
+    # Random smooth surface, known rigid motion: recover it
+    n = 20000
+    xy = rng.uniform(-2, 2, size=(n, 2))
+    z = 0.3 * np.sin(2 * xy[:, 0]) + 0.2 * np.cos(3 * xy[:, 1])
+    X_fix = np.column_stack([xy, z])
+    a = np.array([0.02, -0.015, 0.03])
+    t = np.array([0.05, -0.04, 0.03])
+    c1, s1, c2, s2, c3, s3 = (
+        np.cos(a[0]), np.sin(a[0]), np.cos(a[1]), np.sin(a[1]),
+        np.cos(a[2]), np.sin(a[2]),
+    )
+    R = np.array(
+        [
+            [c2 * c3, -c2 * s3, s2],
+            [c1 * s3 + s1 * s2 * c3, c1 * c3 - s1 * s2 * s3, -s1 * c2],
+            [s1 * s3 - c1 * s2 * c3, s1 * c3 + c1 * s2 * s3, c1 * c2],
+        ]
+    )
+    # movable = inverse-transformed fixed: ICP must estimate (R, t)
+    X_mov = (X_fix - t) @ R
+    res = icp_register(X_fix, X_mov, IcpConfig())
+    H = np.asarray(res.H)
+    assert _angular_error_deg(H[:3, :3], R) < 0.05
+    np.testing.assert_allclose(H[:3, 3], t, atol=2e-3)
+
+
+def test_frozen_parameters_stay_frozen(dragon):
+    X_fix, X_mov = dragon
+    obs_vals = np.array([0.01, 0.02, 0.0, 0.0, 0.0, 0.0])
+    obs_w = np.array([np.inf, np.inf, 0.0, 0.0, 0.0, 0.0])
+    res = icp_register(
+        X_fix, X_mov, IcpConfig(),
+        rbp_observed_values=obs_vals, rbp_observation_weights=obs_w,
+    )
+    p = np.asarray(res.p)
+    np.testing.assert_allclose(p[0], 0.01, atol=1e-12)
+    np.testing.assert_allclose(p[1], 0.02, atol=1e-12)
+    unc = np.asarray(res.uncertainties)
+    assert np.isnan(unc[0]) and np.isnan(unc[1])
+    assert np.all(np.isfinite(unc[2:]))
+
+
+def test_too_few_correspondences_flag(rng):
+    # planarity gate rejects everything -> too-few error
+    X = rng.normal(size=(500, 3))  # isotropic noise: planarity ~ 0.3-ish
+    res = icp_register(X, X + 0.01, IcpConfig(min_planarity=0.999, correspondences=100))
+    assert int(res.error_code) == icp_core.ERR_TOO_FEW_CORRESPONDENCES

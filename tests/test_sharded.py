@@ -1,0 +1,92 @@
+"""Sharded pipeline on the 8-device virtual CPU mesh: must agree with the
+single-device engine (same masks, same collectives-free math) and exercise
+every collective building block."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from simpleicp_tpu import IcpConfig, icp_register
+from simpleicp_tpu.parallel.mesh import make_mesh
+from simpleicp_tpu.parallel.sharded import icp_register_sharded
+
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs multiple (virtual) devices"
+)
+
+
+def _surface(rng, n):
+    xy = rng.uniform(-2, 2, size=(n, 2))
+    z = 0.3 * np.sin(2 * xy[:, 0]) + 0.2 * np.cos(3 * xy[:, 1])
+    return np.column_stack([xy, z])
+
+
+def test_sharded_matches_serial_no_gate(rng):
+    X_fix = _surface(rng, 4003)  # odd size: exercises padding
+    t = np.array([0.04, -0.03, 0.02])
+    X_mov = X_fix - t
+    cfg = IcpConfig(correspondences=300, max_iterations=30)
+
+    mesh = make_mesh(8)
+    res_sh = icp_register_sharded(X_fix, X_mov, cfg, mesh=mesh)
+    res_se = icp_register(X_fix, X_mov, cfg)
+
+    assert int(res_sh.error_code) == 0
+    np.testing.assert_allclose(
+        np.asarray(res_sh.H), np.asarray(res_se.H), atol=1e-9
+    )
+    assert int(res_sh.n_iterations) == int(res_se.n_iterations)
+    # identical correspondence selection
+    np.testing.assert_array_equal(
+        np.asarray(res_sh.sel_idx), np.asarray(res_se.sel_idx)
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_sh.normals), np.asarray(res_se.normals), atol=1e-9
+    )
+
+
+def test_sharded_matches_serial_with_gate(rng):
+    # partial overlap: gate + distributed selection path
+    X_fix = _surface(rng, 3001)
+    half = _surface(rng, 3000)
+    keep = half[:, 0] > 0  # movable covers only half the fixed cloud
+    X_mov = half[keep] - np.array([0.02, 0.01, -0.01])
+    cfg = IcpConfig(correspondences=200, max_overlap_distance=0.5, max_iterations=30)
+
+    mesh = make_mesh(4)
+    res_sh = icp_register_sharded(X_fix, X_mov, cfg, mesh=mesh)
+    res_se = icp_register(X_fix, X_mov, cfg)
+
+    assert int(res_sh.error_code) == 0
+    np.testing.assert_array_equal(
+        np.asarray(res_sh.sel_idx)[np.asarray(res_sh.sel_valid)],
+        np.asarray(res_se.sel_idx)[np.asarray(res_se.sel_valid)],
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_sh.H), np.asarray(res_se.H), atol=1e-9
+    )
+
+
+def test_sharded_no_overlap_error(rng):
+    X_fix = _surface(rng, 1000)
+    res = icp_register_sharded(
+        X_fix, X_fix + 100.0, IcpConfig(max_overlap_distance=0.1),
+        mesh=make_mesh(8),
+    )
+    assert int(res.error_code) == 1
+
+
+def test_sharded_frozen_params(rng):
+    X_fix = _surface(rng, 2000)
+    X_mov = X_fix - np.array([0.05, 0.0, 0.01])
+    res = icp_register_sharded(
+        X_fix, X_mov, IcpConfig(correspondences=200),
+        mesh=make_mesh(8),
+        rbp_observed_values=np.zeros(6),
+        rbp_observation_weights=np.array([np.inf, np.inf, np.inf, 0, 0, 0]),
+    )
+    H = np.asarray(res.H)
+    np.testing.assert_allclose(H[:3, :3], np.eye(3), atol=1e-12)
+    np.testing.assert_allclose(H[:3, 3], [0.05, 0.0, 0.01], atol=2e-3)
