@@ -1,0 +1,155 @@
+#!/usr/bin/env python
+"""Cross-dataset benchmark harness.
+
+Mirrors the reference's /root/reference/scripts/benchmark.sh: runs every
+dataset with its canonical parameters (/root/reference/scripts/benchmark.sh:28-31),
+times the algorithm (excluding compilation, matching the reference's
+`Finished in N.NNN seconds!` scope which excludes interpreter startup), and
+emits a paste-ready Markdown table plus a JSON artifact.
+
+Usage:
+  python scripts/benchmark.py [--datasets dragon,bunny,...] [--repeats 3]
+                              [--out benchmarks.json] [--sharded N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import time
+
+import numpy as np
+
+DATA = "/root/reference/data"
+
+# dataset -> (fixed, movable, kwargs); parameters per the reference harness
+DATASETS = {
+    "dragon": ("dragon1.xyz", "dragon2.xyz", {}),
+    "bunny": ("bunny_part1.xyz", "bunny_part2.xyz", {"max_overlap_distance": 1.0}),
+    "multisensor": (
+        "multisensor_lidar.xyz",
+        "multisensor_radar.xyz",
+        {
+            "max_overlap_distance": 1.0,
+            "rbp_observed_values": (-0.5, 0.0, 0.0, 0.0, 0.0, 0.0),
+            "rbp_observation_weights": (math.inf, math.inf, 0.0, 0.0, 0.0, 0.0),
+        },
+    ),
+    "webots": (
+        "webots1.xyz",
+        "webots2.xyz",
+        {
+            "neighbors": 40,
+            "max_overlap_distance": 0.5,
+            "rbp_observed_values": (0.0, 0.0, -60.0, -0.05, -0.09, 0.0),
+            "rbp_observation_weights": (0.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+        },
+    ),
+}
+
+# Reference runtimes (seconds) from /root/reference/README.md:183-186 for
+# datasets that have published rows (best implementation + python).
+REFERENCE_BEST = {"dragon": 0.07, "bunny": 0.05}
+REFERENCE_PYTHON = {"dragon": 1.86, "bunny": 2.15}
+
+
+def run_dataset(name, repeats, sharded=0):
+    import jax
+
+    from simpleicp_tpu.config import IcpConfig
+    from simpleicp_tpu.models.icp import icp_register
+    from simpleicp_tpu.utils.xyz_io import read_xyz
+
+    fixed, movable, kw = DATASETS[name]
+    X_fix = read_xyz(f"{DATA}/{fixed}")
+    X_mov = read_xyz(f"{DATA}/{movable}")
+
+    kw = dict(kw)
+    obs_vals = np.array(kw.pop("rbp_observed_values", (0.0,) * 6), dtype=np.float64)
+    obs_vals[:3] = np.deg2rad(obs_vals[:3])
+    obs_w = np.array(kw.pop("rbp_observation_weights", (0.0,) * 6), dtype=np.float64)
+    cfg = IcpConfig(**kw)
+
+    if sharded:
+        from simpleicp_tpu.parallel import icp_register_sharded, make_mesh
+
+        mesh = make_mesh(sharded)
+
+        def go():
+            return icp_register_sharded(
+                X_fix, X_mov, cfg, mesh=mesh,
+                rbp_observed_values=obs_vals, rbp_observation_weights=obs_w,
+            )
+    else:
+        def go():
+            return icp_register(
+                X_fix, X_mov, cfg,
+                rbp_observed_values=obs_vals, rbp_observation_weights=obs_w,
+            )
+
+    res = go()  # compile
+    jax.block_until_ready(res.H)
+    if int(res.error_code) != 0:
+        raise RuntimeError(f"{name}: error_code={int(res.error_code)}")
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        res = go()
+        jax.block_until_ready(res.H)
+        times.append(time.perf_counter() - t0)
+
+    n = int(res.n_iterations)
+    return {
+        "dataset": name,
+        "n_fix": int(X_fix.shape[0]),
+        "n_mov": int(X_mov.shape[0]),
+        "seconds": float(np.median(times)),
+        "iterations": n,
+        "converged": bool(res.converged),
+        "final_std": float(np.asarray(res.iter_stds)[n - 1]),
+        "ref_best_s": REFERENCE_BEST.get(name),
+        "ref_python_s": REFERENCE_PYTHON.get(name),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--datasets", default=",".join(DATASETS))
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--out", default="")
+    ap.add_argument("--sharded", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+
+    rows = []
+    for name in args.datasets.split(","):
+        rows.append(run_dataset(name.strip(), args.repeats, args.sharded))
+        r = rows[-1]
+        print(
+            f"{name}: {r['seconds']:.4f}s, {r['iterations']} iters, "
+            f"std {r['final_std']:.5f}",
+            flush=True,
+        )
+
+    plat = jax.devices()[0].platform
+    print(f"\n| Dataset | points | {plat} time | iters | ref best | speedup |")
+    print("|---|---|---|---|---|---|")
+    for r in rows:
+        best = r["ref_best_s"]
+        speed = f"{best / r['seconds']:.2f}x" if best else "-"
+        best_s = f"{best:.2f}s" if best else "-"
+        print(
+            f"| {r['dataset']} | {r['n_fix']}/{r['n_mov']} | "
+            f"{r['seconds']:.3f}s | {r['iterations']} | {best_s} | {speed} |"
+        )
+
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(rows, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
