@@ -28,6 +28,32 @@ __version__ = "0.1.0"
 
 import logging
 
+import jax as _jax
+
+# TPU matmuls default to one-pass bfloat16, which is catastrophic for this
+# workload: coordinate-scale cancellation corrupts NN argmins (measured 8%
+# agreement with exact on dragon) and the Gauss-Newton normal equations
+# (residual std plateaus 100x high). Every matmul in this framework is tiny
+# or K=3-skinny, so full-f32 multi-pass precision costs nothing. Applications
+# can still override per-call with jax.lax.Precision or jax.default_matmul_precision.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent compilation cache: the whole registration compiles into one XLA
+# program (~1-2 min on a remote-compile TPU toolchain), so caching it across
+# processes turns every CLI/bench invocation after the first into a pure-run.
+try:
+    import os as _os
+
+    _cache_dir = _os.environ.get(
+        "SIMPLEICP_TPU_CACHE", _os.path.expanduser("~/.cache/simpleicp_tpu/jax")
+    )
+    if _cache_dir:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except (OSError, AttributeError):  # pragma: no cover - cache is best-effort
+    pass
+
 # Library best practice mirrored from the reference
 # (/root/reference/python/simpleicp/__init__.py:3-7): never emit logs unless
 # the application opts in.

@@ -57,6 +57,59 @@ def _masked_normal_equations(J, r, row_w2):
     return N, b
 
 
+def solve_spd6(N: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve the 6x6 SPD system N x = b in float64 via a fully unrolled
+    Cholesky factorization.
+
+    Two TPU constraints force this instead of jnp.linalg.solve: (1) XLA's
+    LuDecomposition expander has no f64 path on TPU, and (2) the f32 LU
+    solve is not accurate enough for the point-to-plane normal equations
+    (cond(J^T J) ~ 1e4-1e5 from the ~coordinate-magnitude scale difference
+    between rotation and translation columns; measured: dragon residual std
+    plateaus at 0.0105 with the f32 solve vs 1e-4 with this one). The 6x6
+    unrolled scalar graph compiles to one fused kernel; f64 emulation cost
+    is negligible at this size. Returns x in N's original dtype.
+    """
+    dtype = N.dtype
+    f64 = jnp.float64 if jax.config.jax_enable_x64 else dtype
+    A = N.astype(f64)
+    y = b.astype(f64)
+    n = 6
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = A[i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(s)
+            else:
+                L[i][j] = s / L[j][j]
+    # forward substitution L z = y
+    z = [None] * n
+    for i in range(n):
+        s = y[i]
+        for k in range(i):
+            s = s - L[i][k] * z[k]
+        z[i] = s / L[i][i]
+    # backward substitution L^T x = z
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = z[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x).astype(dtype)
+
+
+def inv_spd6(N: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of a 6x6 SPD matrix via six unrolled Cholesky solves in f64
+    (same rationale as solve_spd6; used for the covariance Qxx = N^-1)."""
+    eye = jnp.eye(6, dtype=N.dtype)
+    cols = [solve_spd6(N, eye[:, j]) for j in range(6)]
+    return jnp.stack(cols, axis=1)
+
+
 def _restrict_to_varying(N, b, vary_f):
     """Eliminate frozen parameters: zero their rows/cols, unit diagonal,
     zero rhs — their Gauss-Newton update is exactly zero."""
@@ -91,29 +144,39 @@ def gn_solve(p0: jnp.ndarray, xm: jnp.ndarray, xf: jnp.ndarray, n: jnp.ndarray,
         point-to-plane distances at the optimum.
     """
     dtype = xm.dtype
-    vary = jnp.isfinite(obs_w)
-    vary_f = vary.astype(dtype)
-    is_obs = (obs_w > 0) & vary
-    obs_w2 = jnp.where(is_obs, obs_w, 0.0) ** 2
-    p_start = jnp.where(vary, p0, obs_vals)
-    w2 = jnp.where(mask, distance_weight * distance_weight, 0.0).astype(dtype)
+    # Solver math runs in f64 when available (x64 mode; the arrays are only
+    # (C, 3)-sized so the cost is negligible) — the f32 residual/Jacobian/
+    # solve pipeline loses ~2 digits to cancellation at coordinate scale.
+    # With x64 disabled (TPU fast path) it stays in the input dtype, which
+    # is accurate to ~1e-4 residual std given HIGHEST-precision matmuls
+    # (set package-wide in __init__) and the solve_spd6 Cholesky.
+    f64 = jnp.float64 if jax.config.jax_enable_x64 else dtype
+    xm64, xf64, n64 = xm.astype(f64), xf.astype(f64), n.astype(f64)
+    obs_vals64 = obs_vals.astype(f64)
+    obs_w64 = obs_w.astype(f64)
+    vary = jnp.isfinite(obs_w64)
+    vary_f = vary.astype(f64)
+    is_obs = (obs_w64 > 0) & vary
+    obs_w2 = jnp.where(is_obs, obs_w64, 0.0) ** 2
+    p_start = jnp.where(vary, p0.astype(f64), obs_vals64)
+    w2 = jnp.where(mask, (distance_weight * distance_weight).astype(f64), 0.0)
 
     def residual_fn(p):
-        return point_to_plane_residuals(p, xm, xf, n)
+        return point_to_plane_residuals(p, xm64, xf64, n64)
 
     def step(p, _):
         r = residual_fn(p)
         J = jax.jacfwd(residual_fn)(p)
         N, b = _masked_normal_equations(J, r, w2)
         N = N + jnp.diag(obs_w2)
-        b = b + obs_w2 * (p - obs_vals)
+        b = b + obs_w2 * (p - obs_vals64)
         N, b = _restrict_to_varying(N, b, vary_f)
-        delta = jnp.linalg.solve(N, b)
+        delta = solve_spd6(N, b)
         return p - delta, None
 
     p_final, _ = jax.lax.scan(step, p_start, None, length=n_steps)
     residuals = residual_fn(p_final)
-    return p_final, residuals
+    return p_final.astype(dtype), residuals.astype(dtype)
 
 
 def linearized_solve(xm_t: jnp.ndarray, xf: jnp.ndarray, n: jnp.ndarray,
@@ -131,16 +194,19 @@ def linearized_solve(xm_t: jnp.ndarray, xf: jnp.ndarray, n: jnp.ndarray,
         composition is dH @ H) and the post-solve linear residuals A x - l.
     """
     dtype = xm_t.dtype
-    x, y, z = xm_t[:, 0], xm_t[:, 1], xm_t[:, 2]
-    nx, ny, nz = n[:, 0], n[:, 1], n[:, 2]
+    f64 = jnp.float64 if jax.config.jax_enable_x64 else dtype
+    xm64, xf64, n64 = xm_t.astype(f64), xf.astype(f64), n.astype(f64)
+    x, y, z = xm64[:, 0], xm64[:, 1], xm64[:, 2]
+    nx, ny, nz = n64[:, 0], n64[:, 1], n64[:, 2]
     A = jnp.stack(
         [-z * ny + y * nz, z * nx - x * nz, -y * nx + x * ny, nx, ny, nz], axis=1
     )
-    l = jnp.sum(n * (xf - xm_t), axis=1)
-    w = mask.astype(dtype)
+    l = jnp.sum(n64 * (xf64 - xm64), axis=1)
+    w = mask.astype(f64)
     N, b = _masked_normal_equations(A, l, w)
-    sol = jnp.linalg.solve(N, b)
-    residuals = A @ sol - l
+    sol = solve_spd6(N, b)
+    residuals = (A @ sol - l).astype(dtype)
+    sol = sol.astype(dtype)
     dR = euler_angles_to_linearized_rotation_matrix(sol[0], sol[1], sol[2])
     dH = make_H(dR, sol[3:6])
     return dH, residuals, sol
@@ -162,28 +228,33 @@ def estimate_uncertainties(p: jnp.ndarray, xm: jnp.ndarray, xf: jnp.ndarray,
     Returns (6,) uncertainties with NaN at frozen parameters.
     """
     dtype = xm.dtype
-    vary = jnp.isfinite(obs_w)
-    vary_f = vary.astype(dtype)
-    is_obs = (obs_w > 0) & vary
+    f64 = jnp.float64 if jax.config.jax_enable_x64 else dtype
+    xm64, xf64, n64 = xm.astype(f64), xf.astype(f64), n.astype(f64)
+    p64 = p.astype(f64)
+    obs_vals64 = obs_vals.astype(f64)
+    obs_w64 = obs_w.astype(f64)
+    vary = jnp.isfinite(obs_w64)
+    vary_f = vary.astype(f64)
+    is_obs = (obs_w64 > 0) & vary
 
     def residual_fn(pp):
-        return point_to_plane_residuals(pp, xm, xf, n)
+        return point_to_plane_residuals(pp, xm64, xf64, n64)
 
-    r = residual_fn(p)
-    J = jax.jacfwd(residual_fn)(p)
-    w_rows = jnp.where(mask, distance_weight, 0.0).astype(dtype)
+    r = residual_fn(p64)
+    J = jax.jacfwd(residual_fn)(p64)
+    w_rows = jnp.where(mask, jnp.asarray(distance_weight, f64), 0.0)
     N = J.T @ (J * w_rows[:, None])
-    N = N + jnp.diag(jnp.where(is_obs, obs_w, 0.0))
+    N = N + jnp.diag(jnp.where(is_obs, obs_w64, 0.0))
     N = N * vary_f[:, None] * vary_f[None, :] + jnp.diag(1.0 - vary_f)
-    Qxx = jnp.linalg.inv(N)
+    Qxx = inv_spd6(N)
 
     vPv = jnp.sum(w_rows * r * r) + jnp.sum(
-        jnp.where(is_obs, obs_w * (p - obs_vals) ** 2, 0.0)
+        jnp.where(is_obs, obs_w64 * (p64 - obs_vals64) ** 2, 0.0)
     )
     num_obs = jnp.sum(mask) + jnp.sum(is_obs)
     num_prm = jnp.sum(vary)
     s0_sq = vPv / jnp.maximum(num_obs - num_prm, 1)
-    sigma = jnp.sqrt(s0_sq * jnp.diagonal(Qxx))
+    sigma = jnp.sqrt(s0_sq * jnp.diagonal(Qxx)).astype(dtype)
     return jnp.where(vary, sigma, jnp.nan)
 
 

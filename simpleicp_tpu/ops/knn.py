@@ -5,21 +5,23 @@ The reference implementations all use KD-trees (scipy cKDTree
 /root/reference/c++/src/simpleicp.cpp:130-158, kiddo
 /root/reference/rust/src/icp.rs:50-54). Trees are a poor fit for the TPU's
 execution model (pointer chasing, data-dependent control flow), so this module
-instead computes squared distances block-wise on the MXU with the
+instead computes squared distances block-wise, keeping a running min / top-k
+in registers while `lax.scan` streams reference tiles from HBM. Queries are
+chunked with `lax.map` so peak memory is (query_tile x ref_tile) regardless
+of cloud size.
 
-    ||q - r||^2 = |q|^2 + |r|^2 - 2 q.r
+Distance computation is the exact per-coordinate form
 
-matmul identity, keeping a running min / top-k in registers while `lax.scan`
-streams reference tiles from HBM. Queries are chunked with `lax.map` so peak
-memory is (query_tile x ref_tile) regardless of cloud size.
+    d2 = (qx-rx)^2 + (qy-ry)^2 + (qz-rz)^2
 
-Precision note: the matmul identity cancels catastrophically in f32 when
-|coords| >> point spacing. Both inputs are therefore shifted by the mean of
-the reference cloud before the blocked distance computation — a common shift
-leaves every pairwise distance (and hence the argmin) mathematically
-unchanged — and the *returned* nearest distances are exactly recomputed from
-the gathered winner coordinates, so only argmin tie-breaking is affected by
-the remaining approximation.
+on the VPU, NOT the |q|^2+|r|^2-2 q.r matmul identity. Two reasons, both
+TPU-specific: (1) a K=3 contraction occupies 3/128 of the MXU's systolic
+array, so the matmul form is no faster than the VPU form at any size;
+(2) the identity cancels catastrophically when |coords| >> point spacing —
+on TPU the default f32 matmul runs in bfloat16 passes, which corrupts the
+argmin badly enough to stall ICP convergence entirely (measured: dragon
+linearized solver 7 iterations exact vs >100 with the identity). Exact
+diffs have no cancellation and need no centering or re-check.
 """
 
 from __future__ import annotations
@@ -42,11 +44,13 @@ def _pad_rows(X: jnp.ndarray, multiple: int, fill) -> jnp.ndarray:
     return jnp.concatenate([X, pad], axis=0)
 
 
-def _dist2_block(Q: jnp.ndarray, R: jnp.ndarray, qn: jnp.ndarray, rn: jnp.ndarray) -> jnp.ndarray:
-    """(q, t) squared distances between query block Q (q,3) and ref tile R (t,3)."""
-    cross = jnp.dot(Q, R.T, preferred_element_type=Q.dtype)
-    d2 = qn[:, None] + rn[None, :] - 2.0 * cross
-    return jnp.maximum(d2, 0.0)
+def _dist2_block(Q: jnp.ndarray, R: jnp.ndarray) -> jnp.ndarray:
+    """(q, t) exact squared distances between query block Q (q,3) and ref
+    tile R (t,3) — three broadcast subtract/square/accumulate VPU passes."""
+    d2 = (Q[:, 0:1] - R[None, :, 0]) ** 2
+    d2 += (Q[:, 1:2] - R[None, :, 1]) ** 2
+    d2 += (Q[:, 2:3] - R[None, :, 2]) ** 2
+    return d2
 
 
 @functools.partial(jax.jit, static_argnames=("ref_tile", "query_tile"))
@@ -70,31 +74,23 @@ def nn_search(queries: jnp.ndarray, refs: jnp.ndarray, *, ref_tile: int = 4096,
     query_tile = min(query_tile, max(8, n_q))
     dtype = queries.dtype
 
-    center = jnp.mean(refs, axis=0)
-    queries_centered = queries - center
-    refs_centered = refs - center
-
-    refs_p = _pad_rows(refs_centered, ref_tile, 0.0)
-    rn = jnp.sum(refs_p * refs_p, axis=1)
+    refs_p = _pad_rows(refs, ref_tile, 0.0)
     n_tiles = refs_p.shape[0] // ref_tile
     ref_tiles = refs_p.reshape(n_tiles, ref_tile, 3)
-    rn_tiles = rn.reshape(n_tiles, ref_tile)
     valid_rows = jnp.arange(n_tiles * ref_tile, dtype=jnp.int32) < n_r
     if ref_mask is not None:
         valid_rows = valid_rows & _pad_rows(ref_mask, ref_tile, False)
     tile_valid = valid_rows.reshape(n_tiles, ref_tile)
 
-    queries_p = _pad_rows(queries_centered, query_tile, 0.0)
+    queries_p = _pad_rows(queries, query_tile, 0.0)
     n_chunks = queries_p.shape[0] // query_tile
     query_chunks = queries_p.reshape(n_chunks, query_tile, 3)
 
     def chunk_fn(Q):
-        qn = jnp.sum(Q * Q, axis=1)
-
         def body(carry, xs):
             best_d, best_i = carry
-            R, rn_t, valid, base = xs
-            d2 = _dist2_block(Q, R, qn, rn_t)
+            R, valid, base = xs
+            d2 = _dist2_block(Q, R)
             d2 = jnp.where(valid[None, :], d2, _BIG)
             tile_min = jnp.min(d2, axis=1)
             tile_arg = jnp.argmin(d2, axis=1).astype(jnp.int32) + base
@@ -109,17 +105,11 @@ def nn_search(queries: jnp.ndarray, refs: jnp.ndarray, *, ref_tile: int = 4096,
             jnp.zeros((query_tile,), dtype=jnp.int32),
         )
         bases = (jnp.arange(n_tiles, dtype=jnp.int32) * ref_tile)
-        (best_d, best_i), _ = lax.scan(body, init, (ref_tiles, rn_tiles, tile_valid, bases))
+        (best_d, best_i), _ = lax.scan(body, init, (ref_tiles, tile_valid, bases))
         return best_d, best_i
 
     d2, idx = lax.map(chunk_fn, query_chunks)
-    d2 = d2.reshape(-1)[:n_q]
-    idx = idx.reshape(-1)[:n_q]
-    # Exact distance recomputation at the winner (see module docstring).
-    diff = queries - refs[idx]
-    d2_exact = jnp.sum(diff * diff, axis=1)
-    d2_exact = jnp.where(jnp.isinf(d2), jnp.inf, d2_exact)  # no valid ref
-    return d2_exact, idx
+    return d2.reshape(-1)[:n_q], idx.reshape(-1)[:n_q]
 
 
 @functools.partial(jax.jit, static_argnames=("k", "ref_tile", "query_tile"))
@@ -142,31 +132,23 @@ def knn_search(queries: jnp.ndarray, refs: jnp.ndarray, k: int, *, ref_tile: int
     query_tile = min(query_tile, max(8, n_q))
     dtype = queries.dtype
 
-    center = jnp.mean(refs, axis=0)
-    queries_centered = queries - center
-    refs_centered = refs - center
-
-    refs_p = _pad_rows(refs_centered, ref_tile, 0.0)
-    rn = jnp.sum(refs_p * refs_p, axis=1)
+    refs_p = _pad_rows(refs, ref_tile, 0.0)
     n_tiles = refs_p.shape[0] // ref_tile
     ref_tiles = refs_p.reshape(n_tiles, ref_tile, 3)
-    rn_tiles = rn.reshape(n_tiles, ref_tile)
     valid_rows = jnp.arange(n_tiles * ref_tile, dtype=jnp.int32) < n_r
     if ref_mask is not None:
         valid_rows = valid_rows & _pad_rows(ref_mask, ref_tile, False)
     tile_valid = valid_rows.reshape(n_tiles, ref_tile)
 
-    queries_p = _pad_rows(queries_centered, query_tile, 0.0)
+    queries_p = _pad_rows(queries, query_tile, 0.0)
     n_chunks = queries_p.shape[0] // query_tile
     query_chunks = queries_p.reshape(n_chunks, query_tile, 3)
 
     def chunk_fn(Q):
-        qn = jnp.sum(Q * Q, axis=1)
-
         def body(carry, xs):
             best_d, best_i = carry  # (qt, k) running top-k, ascending
-            R, rn_t, valid, base = xs
-            d2 = _dist2_block(Q, R, qn, rn_t)
+            R, valid, base = xs
+            d2 = _dist2_block(Q, R)
             d2 = jnp.where(valid[None, :], d2, _BIG)
             tile_idx = base + jnp.arange(ref_tile, dtype=jnp.int32)
             cand_d = jnp.concatenate([best_d, d2], axis=1)
@@ -184,16 +166,11 @@ def knn_search(queries: jnp.ndarray, refs: jnp.ndarray, k: int, *, ref_tile: int
             jnp.zeros((query_tile, k), dtype=jnp.int32),
         )
         bases = (jnp.arange(n_tiles, dtype=jnp.int32) * ref_tile)
-        (best_d, best_i), _ = lax.scan(body, init, (ref_tiles, rn_tiles, tile_valid, bases))
+        (best_d, best_i), _ = lax.scan(body, init, (ref_tiles, tile_valid, bases))
         return best_d, best_i
 
     d2, idx = lax.map(chunk_fn, query_chunks)
-    d2 = d2.reshape(-1, k)[:n_q]
-    idx = idx.reshape(-1, k)[:n_q]
-    diff = queries[:, None, :] - refs[idx]
-    d2_exact = jnp.sum(diff * diff, axis=2)
-    d2_exact = jnp.where(jnp.isinf(d2), jnp.inf, d2_exact)
-    return d2_exact, idx
+    return d2.reshape(-1, k)[:n_q], idx.reshape(-1, k)[:n_q]
 
 
 def min_dist_sq(queries: jnp.ndarray, refs: jnp.ndarray, **kw) -> jnp.ndarray:
