@@ -64,6 +64,14 @@ class IcpConfig:
     query_tile: int = 2048
     ref_tile: int = 4096
     use_pallas: bool = True
+    # Overlap-gate engine: "brute" = tiled dense distance sweep (exact,
+    # O(nf*nm)); "grid" = spatial-hash cell list (ops/gridhash.py, exact for
+    # the within-radius question, O(27*cell_cap) per query — required at the
+    # 50M-point scale); "auto" lets icp_register choose by problem size.
+    gate_method: str = "auto"
+    # Static max hash-slot occupancy for the grid gate; 0 = computed
+    # host-side by icp_register via ops.gridhash.grid_cell_cap.
+    grid_cell_cap: int = 0
 
     def __post_init__(self):
         if self.correspondences < 6:
@@ -78,6 +86,8 @@ class IcpConfig:
             raise ValueError("distance_weights must be > 0")
         if self.solver not in ("nonlinear", "linearized"):
             raise ValueError("solver must be 'nonlinear' or 'linearized'")
+        if self.gate_method not in ("auto", "brute", "grid"):
+            raise ValueError("gate_method must be 'auto', 'brute' or 'grid'")
 
     @property
     def overlap_enabled(self) -> bool:

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import IcpConfig
-from ..ops.knn import knn_search, nn_search
+from ..ops.knn import knn_search, nn_search, nn_search_auto
 from ..ops.normals import estimate_normals_from_neighborhoods
 from ..ops.stats import masked_mad, masked_mean, masked_median, masked_std, pct_change
 from ..ops.transform import apply_H, rbp_to_H, rotation_matrix_to_euler_angles
@@ -284,7 +284,18 @@ def _icp_run(Xf, Xm, obs_vals, obs_w, normals_fix, planarity_fix,
     # ---- Stage 2: overlap gate (static branch — cfg is trace-time) ----
     if cfg.overlap_enabled:
         Xm0 = apply_H(Xm, H0)
-        d2, _ = nn_search(Xf, Xm0, ref_tile=rt, query_tile=qt)
+        if cfg.gate_method == "grid":
+            from ..ops.gridhash import min_dist_sq_grid
+
+            d2 = min_dist_sq_grid(
+                Xf, Xm0, cfg.max_overlap_distance,
+                cell_cap=max(cfg.grid_cell_cap, 1),
+            )
+        else:
+            d2, _ = nn_search_auto(
+                Xf, Xm0, ref_tile=rt, query_tile=qt,
+                use_pallas=cfg.use_pallas,
+            )
         sel_mask = d2 <= jnp.asarray(cfg.max_overlap_distance, dtype) ** 2
         error = jnp.where(jnp.any(sel_mask), error, jnp.int32(ERR_NO_OVERLAP))
         # keep the device program well-defined even when empty:
@@ -319,7 +330,11 @@ def _icp_run(Xf, Xm, obs_vals, obs_w, normals_fix, planarity_fix,
         # NN of each selected fixed point among transformed movable points
         # (KD-tree rebuilt per iteration in the reference,
         # /root/reference/python/simpleicp/corrpts.py:131-132 — here a fresh
-        # pass of the tiled distance kernel over the moved cloud).
+        # pass of the tiled distance kernel over the moved cloud). The lax
+        # kernel is deliberate: inside the while_loop XLA fuses the
+        # transform -> distance -> argmin chain end to end, whereas a
+        # pallas_call boundary forces materializing the transformed cloud
+        # and its coordinate planes every iteration (measured 7x slower).
         _, m_idx = nn_search(Q, Xm_t, ref_tile=rt, query_tile=qt)
         return m_idx, Xm_t[m_idx], Xm[m_idx]
 
@@ -396,6 +411,39 @@ def icp_register(
     Xm = jnp.asarray(X_mov, dtype)
     if Xf.ndim != 2 or Xf.shape[1] != 3 or Xm.ndim != 2 or Xm.shape[1] != 3:
         raise ValueError("point clouds must have shape (n, 3)")
+
+    # Resolve the overlap-gate engine (static choice, host-side). The dense
+    # sweep runs at ~1e12 distance-pairs/s on the VPU; the cell list costs
+    # ~27*cell_cap random gathers per query, and TPU gathers are slow enough
+    # (measured: bunny grid 427ms vs brute 47ms) that brute wins until the
+    # pair count is ~1e12. Past that the cell list's O(queries) scaling is
+    # mandatory — at the 50M x 50M BASELINE scale brute would be 2.5e15 pairs.
+    if cfg.overlap_enabled:
+        resolved = cfg.gate_method
+        if resolved == "auto":
+            resolved = "grid" if Xf.shape[0] * Xm.shape[0] > 2**41 else "brute"
+        cap = cfg.grid_cell_cap
+        if resolved == "grid" and cap == 0:
+            from ..models.solver import RigidBodyParameters
+            from ..ops.gridhash import grid_cell_cap
+
+            # cap depends on the gate-time (initial-transformed) movable
+            # cloud; obs_vals are host values, so transform with numpy.
+            Xm_np = np.asarray(X_mov, np.float64)
+            if rbp_observed_values is not None and np.any(rbp_observed_values):
+                rbp = RigidBodyParameters()
+                rbp.set_parameter_attributes_from_list(
+                    "estimated_value", np.asarray(rbp_observed_values)
+                )
+                H0 = rbp.H
+                Xm_np = Xm_np @ H0[:3, :3].T + H0[:3, 3]
+            cap = grid_cell_cap(Xm_np, cfg.max_overlap_distance)
+        if (resolved, cap) != (cfg.gate_method, cfg.grid_cell_cap):
+            import dataclasses
+
+            cfg = dataclasses.replace(
+                cfg, gate_method=resolved, grid_cell_cap=cap
+            )
 
     obs_vals = (jnp.zeros(6, dtype) if rbp_observed_values is None
                 else jnp.asarray(rbp_observed_values, dtype))

@@ -173,6 +173,28 @@ def knn_search(queries: jnp.ndarray, refs: jnp.ndarray, k: int, *, ref_tile: int
     return d2.reshape(-1, k)[:n_q], idx.reshape(-1, k)[:n_q]
 
 
+def nn_search_auto(queries: jnp.ndarray, refs: jnp.ndarray, *,
+                   ref_tile: int = 4096, query_tile: int = 2048,
+                   ref_mask: jnp.ndarray | None = None,
+                   use_pallas: bool = True):
+    """1-NN with automatic kernel selection: the hand-scheduled Pallas kernel
+    on the TPU f32 fast path, the lax kernel everywhere else (CPU parity
+    runs, f64, interpret-unfriendly contexts). Both produce bit-identical
+    results (tests/test_knn_pallas.py)."""
+    if (
+        use_pallas
+        and jax.default_backend() == "tpu"
+        and queries.dtype == jnp.float32
+    ):
+        from .knn_pallas import nn_search_pallas
+
+        return nn_search_pallas(queries, refs, ref_mask=ref_mask)
+    return nn_search(
+        queries, refs, ref_tile=ref_tile, query_tile=query_tile,
+        ref_mask=ref_mask,
+    )
+
+
 def min_dist_sq(queries: jnp.ndarray, refs: jnp.ndarray, **kw) -> jnp.ndarray:
     """Squared distance from each query to its nearest reference point.
 

@@ -70,7 +70,7 @@ def _nn_kernel(q_ref, rx_ref, ry_ref, rz_ref, mask_ref, out_d_ref, out_i_ref,
     jax.jit, static_argnames=("ref_tile", "query_tile", "interpret")
 )
 def nn_search_pallas(queries: jnp.ndarray, refs: jnp.ndarray, *,
-                     ref_tile: int = 2048, query_tile: int = 512,
+                     ref_tile: int = 2048, query_tile: int = 1024,
                      ref_mask: jnp.ndarray | None = None,
                      interpret: bool = False):
     """Single nearest neighbor of each query among refs (Pallas TPU kernel).
@@ -117,6 +117,9 @@ def nn_search_pallas(queries: jnp.ndarray, refs: jnp.ndarray, *,
             ),
             plane_spec, plane_spec, plane_spec, plane_spec,
         ],
+        # 1D outputs with 1024-multiple blocks: XLA lays out 1D f32/i32
+        # arrays with T(1024) tiling on TPU, and Mosaic requires the block
+        # to match it (512 blocks or (1, n) 2D blocks are both rejected).
         out_specs=[
             pl.BlockSpec((query_tile,), lambda qi, ri: (qi,),
                          memory_space=pltpu.VMEM),
@@ -124,8 +127,8 @@ def nn_search_pallas(queries: jnp.ndarray, refs: jnp.ndarray, *,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_q + q_pad,), dtype),
-            jax.ShapeDtypeStruct((n_q + q_pad,), jnp.int32),
+            jax.ShapeDtypeStruct((n_q_tiles * query_tile,), dtype),
+            jax.ShapeDtypeStruct((n_q_tiles * query_tile,), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((query_tile,), dtype),
@@ -133,4 +136,4 @@ def nn_search_pallas(queries: jnp.ndarray, refs: jnp.ndarray, *,
         ],
         interpret=interpret,
     )(Q, rx, ry, rz, maskf)
-    return d2[:n_q], idx[:n_q]
+    return d2.reshape(-1)[:n_q], idx.reshape(-1)[:n_q]
