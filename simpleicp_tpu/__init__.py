@@ -60,11 +60,14 @@ except (OSError, AttributeError):  # pragma: no cover - cache is best-effort
 logging.getLogger(__name__).addHandler(logging.NullHandler())
 
 from .config import IcpConfig  # noqa: E402
+from .corrpts import CorrPts, CorrPtsException  # noqa: E402
 from .models.solver import Parameter, RigidBodyParameters  # noqa: E402
 from .models.icp import IcpResult, icp_register  # noqa: E402
 from .api import PointCloud, PointCloudException, SimpleICP, SimpleICPException  # noqa: E402
 
 __all__ = [
+    "CorrPts",
+    "CorrPtsException",
     "IcpConfig",
     "IcpResult",
     "icp_register",

@@ -18,6 +18,19 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def euler_coord_to_homogeneous_coord(X: jnp.ndarray) -> jnp.ndarray:
+    """(n, 3) -> (n, 4) homogeneous coordinates
+    (/root/reference/python/simpleicp/mathutils.py:10-16)."""
+    n = X.shape[0]
+    return jnp.concatenate([X, jnp.ones((n, 1), X.dtype)], axis=1)
+
+
+def homogeneous_coord_to_euler_coord(Xh: jnp.ndarray) -> jnp.ndarray:
+    """(n, 4) -> (n, 3) Euclidean coordinates, dividing by w
+    (/root/reference/python/simpleicp/mathutils.py:19-26)."""
+    return Xh[:, :3] / Xh[:, 3:4]
+
+
 def euler_angles_to_rotation_matrix(alpha1, alpha2, alpha3) -> jnp.ndarray:
     """Exact rotation matrix from the three Euler angles (radians)."""
     c1, s1 = jnp.cos(alpha1), jnp.sin(alpha1)
