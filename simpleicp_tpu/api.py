@@ -30,6 +30,19 @@ from .utils.xyz_io import read_xyz, write_correspondences_xyz, write_xyz
 _log = get_logger(__name__)
 
 
+def _host_rotation(a1: float, a2: float, a3: float) -> np.ndarray:
+    """Exact x->y->z Euler rotation, host-side f64
+    (/root/reference/python/simpleicp/mathutils.py:39-68)."""
+    c1, s1 = np.cos(a1), np.sin(a1)
+    c2, s2 = np.cos(a2), np.sin(a2)
+    c3, s3 = np.cos(a3), np.sin(a3)
+    return np.array([
+        [c2 * c3, -c2 * s3, s2],
+        [c1 * s3 + s1 * s2 * c3, c1 * c3 - s1 * s2 * s3, -s1 * c2],
+        [s1 * s3 - c1 * s2 * c3, s1 * c3 + c1 * s2 * s3, c1 * c2],
+    ])
+
+
 class PointCloudException(Exception):
     """Raised when PointCloud is misused."""
 
@@ -252,10 +265,23 @@ class SimpleICP:
         debug_dirpath: str = "",
         solver: str = "nonlinear",
         mad_scale: float = 1.4826,
+        center: bool = True,
     ) -> Tuple[np.ndarray, np.ndarray, RigidBodyParameters, np.ndarray]:
         """Run the registration. Arguments, defaults, validation, output and
         return values follow /root/reference/python/simpleicp/simpleicp.py:75-133;
-        `solver` and `mad_scale` are TPU-build extensions (see IcpConfig).
+        `solver`, `mad_scale` and `center` are TPU-build extensions.
+
+        center: shift both clouds by the fixed cloud's centroid before the
+            device pipeline and map the result back (exact, host-side f64).
+            Georeferenced clouds (UTM-scale coordinates ~1e6 m) would
+            otherwise be quantized to ~6 cm by the f32 fast path. Applied
+            only when all translation observation weights are zero — a
+            translation observation refers to the original frame and cannot
+            be expressed as a fixed observation in the shifted frame (the
+            reference has no such concern: it always computes in f64, as do
+            we under jax x64). Angle observations are unaffected by a pure
+            frame translation. The initial transform from observed values is
+            mapped exactly: t0' = t0 + R0 c - c.
 
         Returns:
             (H, X_mov_transformed, rbp, distance_residuals)
@@ -308,12 +334,28 @@ class SimpleICP:
         mov_sel = self.pc2.idx_selected
         X_mov_sel = self.pc2.X if len(mov_sel) == len(self.pc2) else self.pc2.X[mov_sel]
 
+        # Optional exact host-side centering (see docstring). Active only
+        # when no translation observations exist.
+        do_center = bool(center) and bool(np.all(obs_w[3:] == 0.0))
+        if do_center:
+            c = self.pc1.X.mean(axis=0)
+            R0 = _host_rotation(*obs_vals[:3])
+            obs_vals_run = obs_vals.copy()
+            obs_vals_run[3:] = obs_vals[3:] + R0 @ c - c
+            Xf_run = self.pc1.X - c
+            Xm_run = X_mov_sel - c
+        else:
+            c = np.zeros(3)
+            obs_vals_run = obs_vals
+            Xf_run = self.pc1.X
+            Xm_run = X_mov_sel
+
         _log.info("Start iterations ...")
         result = icp_core.icp_register(
-            self.pc1.X,
-            X_mov_sel,
+            Xf_run,
+            Xm_run,
             cfg,
-            rbp_observed_values=obs_vals,
+            rbp_observed_values=obs_vals_run,
             rbp_observation_weights=obs_w,
             normals_fix=(
                 np.column_stack(
@@ -362,7 +404,15 @@ class SimpleICP:
             col[sel_idx] = planarity[valid]
             self.pc1["planarity"] = col
 
-        H = np.asarray(result.H, dtype=np.float64)
+        H = np.array(result.H, dtype=np.float64)  # writable copy
+        p_est = np.array(result.p, dtype=np.float64)
+        if do_center:
+            # Map back to the original frame: H = T(c) H' T(-c), i.e. the
+            # rotation is unchanged and t = t' + c - R c (exact, f64).
+            R_est = H[:3, :3]
+            H[:3, 3] = H[:3, 3] + c - R_est @ c
+            p_est = p_est.copy()
+            p_est[3:] = p_est[3:] + c - _host_rotation(*p_est[:3]) @ c
         n_done = int(result.n_iterations)
         converged = bool(result.converged)
 
@@ -370,7 +420,7 @@ class SimpleICP:
         rbp = RigidBodyParameters()
         rbp.set_parameter_attributes_from_list("observed_value", obs_vals)
         rbp.set_parameter_attributes_from_list("observation_weight", obs_w)
-        rbp.set_parameter_attributes_from_list("estimated_value", np.asarray(result.p))
+        rbp.set_parameter_attributes_from_list("estimated_value", p_est)
         rbp.set_parameter_attributes_from_list(
             "estimated_uncertainty", np.asarray(result.uncertainties)
         )
@@ -434,7 +484,7 @@ class SimpleICP:
         )
 
         if debug_dirpath:
-            self._write_debug_files(Path(debug_dirpath), result, X_mov_sel, n_done)
+            self._write_debug_files(Path(debug_dirpath), result, Xm_run, c, n_done)
 
         # Apply the final transformation permanently
         # (/root/reference/python/simpleicp/simpleicp.py:316).
@@ -446,11 +496,13 @@ class SimpleICP:
         _log.info(f"Finished in {time.time() - start_time:.3f} seconds!")
         return H, self.pc2.X, rbp, distance_residuals
 
-    def _write_debug_files(self, dirpath: Path, result, X_mov_sel: np.ndarray,
-                           n_done: int) -> None:
+    def _write_debug_files(self, dirpath: Path, result, Xm_run: np.ndarray,
+                           c: np.ndarray, n_done: int) -> None:
         """Replay the reference's per-iteration CloudCompare debug dumps
         (/root/reference/python/simpleicp/simpleicp.py:141-143,189-200,216-221,
-        317-320) from the recorded on-device trajectory."""
+        317-320) from the recorded on-device trajectory. `Xm_run` and the
+        recorded trajectory live in the (possibly centered) compute frame;
+        adding `c` restores the original frame for the dumped files."""
         from .ops.transform import euler_angles_to_rotation_matrix
 
         sel_valid = np.asarray(result.sel_valid)
@@ -469,7 +521,7 @@ class SimpleICP:
             R = np.asarray(
                 euler_angles_to_rotation_matrix(p_in[0], p_in[1], p_in[2])
             )
-            Xm_t = X_mov_sel @ R.T + p_in[3:6]
+            Xm_t = Xm_run @ R.T + p_in[3:6] + c
             write_xyz(dirpath / f"iteration{it:03d}_preoptim_pcmov.xyz", Xm_t)
             mask = masks[it] & sel_valid
             write_correspondences_xyz(
@@ -480,8 +532,8 @@ class SimpleICP:
             )
             p_prev = ps[it]
 
-        H = np.asarray(result.H)
-        Xm_final = X_mov_sel @ H[:3, :3].T + H[:3, 3]
+        Hc = np.asarray(result.H)  # compute-frame transform
+        Xm_final = Xm_run @ Hc[:3, :3].T + Hc[:3, 3] + c
         write_xyz(
             dirpath / f"iteration{max(n_done - 1, 0):03d}_postoptim_pcmov.xyz",
             Xm_final,
