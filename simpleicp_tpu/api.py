@@ -369,6 +369,13 @@ class SimpleICP:
                 if has_normals
                 else None
             ),
+            # Both-cloud planarity gating when the movable cloud carries it
+            # (reference corrpts.py:151-163, SURVEY.md Q5).
+            planarity_mov=(
+                np.asarray(self.pc2["planarity"], dtype=np.float64)[mov_sel]
+                if "planarity" in self.pc2
+                else None
+            ),
         )
         error = int(result.error_code)
         if error == icp_core.ERR_NO_OVERLAP:

@@ -120,7 +120,8 @@ def _select_n(sel_mask: jnp.ndarray, n: int):
 
 
 def run_icp_loop(Q, normals, planarity, sel_valid, obs_vals, obs_w,
-                 cfg: IcpConfig, dtype, error0, H0, match_fn, gather_fn):
+                 cfg: IcpConfig, dtype, error0, H0, match_fn, gather_fn,
+                 mov_planarity_fn=None):
     """The match -> reject -> solve -> converge iteration as a
     `lax.while_loop`, shared by the single-chip and sharded (shard_map)
     drivers. `match_fn(Ht) -> (m_idx, m_t, m_orig)` performs the NN matching
@@ -162,8 +163,12 @@ def run_icp_loop(Q, normals, planarity, sel_valid, obs_vals, obs_w,
         d = jnp.sum((m_t - Q) * normals, axis=1)  # signed p2plane distances
 
         # Reject: planarity gate first, then median/MAD band on the
-        # survivors (reference Python staging, SURVEY.md Q5).
+        # survivors (reference Python staging, SURVEY.md Q5). When the
+        # movable cloud carries planarity (user-estimated normals), both
+        # sides gate, like reference corrpts.py:151-163.
         mask_p = sel_valid & (planarity >= min_planarity)
+        if mov_planarity_fn is not None:
+            mask_p = mask_p & (mov_planarity_fn(m_idx) >= min_planarity)
         med = masked_median(d, mask_p)
         sigma = 3.0 * masked_mad(d, mask_p, scale=cfg.mad_scale)
         mask = mask_p & (jnp.abs(d - med) <= sigma)
@@ -270,9 +275,13 @@ def run_icp_loop(Q, normals, planarity, sel_valid, obs_vals, obs_w,
     return final, uncertainties
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "has_normals"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "has_normals", "has_mov_planarity")
+)
 def _icp_run(Xf, Xm, obs_vals, obs_w, normals_fix, planarity_fix,
-             *, cfg: IcpConfig, has_normals: bool) -> IcpResult:
+             planarity_mov,
+             *, cfg: IcpConfig, has_normals: bool,
+             has_mov_planarity: bool = False) -> IcpResult:
     dtype = Xf.dtype
     C = cfg.correspondences
     T = cfg.max_iterations
@@ -341,9 +350,13 @@ def _icp_run(Xf, Xm, obs_vals, obs_w, normals_fix, planarity_fix,
     def gather_fn(m_idx):
         return Xm[m_idx]
 
+    mov_planarity_fn = (
+        (lambda m_idx: planarity_mov[m_idx]) if has_mov_planarity else None
+    )
+
     final, uncertainties = run_icp_loop(
         Q, normals, planarity, sel_valid, obs_vals, obs_w, cfg, dtype,
-        error, H0, match_fn, gather_fn,
+        error, H0, match_fn, gather_fn, mov_planarity_fn=mov_planarity_fn,
     )
 
     return IcpResult(
@@ -382,6 +395,7 @@ def icp_register(
     rbp_observation_weights: Optional[np.ndarray] = None,
     normals_fix: Optional[np.ndarray] = None,
     planarity_fix: Optional[np.ndarray] = None,
+    planarity_mov: Optional[np.ndarray] = None,
     dtype=None,
 ) -> IcpResult:
     """Functional entry point: register X_mov onto X_fix.
@@ -398,6 +412,10 @@ def icp_register(
         normals_fix / planarity_fix: optional user-supplied per-point normals
             (nf,3) and planarity (nf,) for the fixed cloud; when given,
             normal estimation is skipped (SURVEY.md Q11).
+        planarity_mov: optional (nm,) movable-cloud planarity; when given,
+            correspondences whose matched movable point falls below
+            min_planarity are also rejected (both-cloud gating of
+            /root/reference/python/simpleicp/corrpts.py:151-163, Q5).
         dtype: computation dtype; defaults to f64 when jax x64 is enabled
             (CPU parity runs) else f32 (TPU fast path).
 
@@ -411,6 +429,17 @@ def icp_register(
     Xm = jnp.asarray(X_mov, dtype)
     if Xf.ndim != 2 or Xf.shape[1] != 3 or Xm.ndim != 2 or Xm.shape[1] != 3:
         raise ValueError("point clouds must have shape (n, 3)")
+
+    # Auto-scale the reference tile to the movable-cloud size (static,
+    # host-side): the NN sweep is a lax.scan over n_r/ref_tile sequential
+    # steps, and per-step overhead dominates at multi-million-point clouds
+    # (measured at 12.5M: 2.83s with 4096-tiles vs 1.16s with 65536).
+    if cfg.ref_tile == 4096:
+        import dataclasses
+
+        rt_auto = 1 << max(12, min(16, (Xm.shape[0] // 192).bit_length()))
+        if rt_auto != cfg.ref_tile:
+            cfg = dataclasses.replace(cfg, ref_tile=rt_auto)
 
     # Resolve the overlap-gate engine (static choice, host-side). The dense
     # sweep runs at ~1e12 distance-pairs/s on the VPU; the cell list costs
@@ -459,7 +488,15 @@ def icp_register(
         normals_arr = jnp.zeros((1, 3), dtype)
         planarity_arr = jnp.zeros((1,), dtype)
 
+    has_mov_planarity = planarity_mov is not None
+    planarity_mov_arr = (
+        jnp.asarray(planarity_mov, dtype) if has_mov_planarity
+        else jnp.zeros((1,), dtype)
+    )
+
     return _icp_run(
         Xf, Xm, obs_vals, obs_w, normals_arr, planarity_arr,
+        planarity_mov_arr,
         cfg=cfg, has_normals=has_normals,
+        has_mov_planarity=has_mov_planarity,
     )

@@ -10,11 +10,16 @@ from .transform import (
     invert_H,
     rbp_to_H,
 )
-from .knn import knn_search, nn_search, min_dist_sq
+from .knn import knn_search, nn_search, nn_search_auto, min_dist_sq
+from .gridhash import grid_cell_cap, min_dist_sq_grid, nn_within_radius_grid
 from .normals import eigh3x3, estimate_normals_from_neighborhoods
 from .stats import masked_mean, masked_std, masked_median, masked_mad
 
 __all__ = [
+    "grid_cell_cap",
+    "min_dist_sq_grid",
+    "nn_search_auto",
+    "nn_within_radius_grid",
     "apply_H",
     "euler_angles_to_rotation_matrix",
     "euler_angles_to_linearized_rotation_matrix",

@@ -9,6 +9,12 @@ inside `shard_map`.
 """
 
 from .mesh import make_mesh
+from .multihost import initialize_multihost, process_info
 from .sharded import icp_register_sharded
 
-__all__ = ["make_mesh", "icp_register_sharded"]
+__all__ = [
+    "icp_register_sharded",
+    "initialize_multihost",
+    "make_mesh",
+    "process_info",
+]

@@ -171,3 +171,36 @@ def test_debug_dirpath_dumps(tmp_path, rng):
     assert "iteration000_preoptim_pcmov.xyz" in files
     assert "iteration000_preoptim_correspondences.xyz" in files
     assert any("postoptim_pcmov" in f for f in files)
+
+
+def test_movable_planarity_gating(rng):
+    """Q5 both-cloud planarity gate: when pc2 carries a planarity column,
+    correspondences matched to low-planarity movable points are rejected
+    (reference corrpts.py:151-163)."""
+    from simpleicp_tpu import SimpleICPException
+
+    xy = rng.uniform(-2, 2, size=(5000, 2))
+    z = 0.3 * np.sin(2 * xy[:, 0])
+    X1 = np.column_stack([xy, z])
+    X2 = X1 - np.array([0.02, 0.01, -0.005])
+
+    # healthy movable planarity: same result as without the column
+    pc1, pc2 = PointCloud(X1.copy()), PointCloud(X2.copy())
+    pc2.estimate_normals(10)
+    icp = SimpleICP(verbose=False)
+    icp.add_point_clouds(pc1, pc2)
+    H_gated, _, _, _ = icp.run(max_iterations=20)
+
+    icp2 = SimpleICP(verbose=False)
+    icp2.add_point_clouds(PointCloud(X1.copy()), PointCloud(X2.copy()))
+    H_plain, _, _, _ = icp2.run(max_iterations=20)
+    np.testing.assert_allclose(H_gated, H_plain, atol=1e-6)
+
+    # zero movable planarity rejects every correspondence
+    pc1b, pc2b = PointCloud(X1.copy()), PointCloud(X2.copy())
+    pc2b.estimate_normals(10)
+    pc2b["planarity"] = np.zeros(len(pc2b), dtype=np.float32)
+    icp3 = SimpleICP(verbose=False)
+    icp3.add_point_clouds(pc1b, pc2b)
+    with pytest.raises(SimpleICPException, match="Too few correspondences"):
+        icp3.run(max_iterations=5)
