@@ -432,12 +432,13 @@ def icp_register(
 
     # Auto-scale the reference tile to the movable-cloud size (static,
     # host-side): the NN sweep is a lax.scan over n_r/ref_tile sequential
-    # steps, and per-step overhead dominates at multi-million-point clouds
-    # (measured at 12.5M: 2.83s with 4096-tiles vs 1.16s with 65536).
+    # steps, and per-step overhead dominates once clouds pass ~100k points
+    # (measured: dragon 61ms->48.5ms with 16384-tiles; 12.5M 2.83s->1.16s
+    # with 65536).
     if cfg.ref_tile == 4096:
         import dataclasses
 
-        rt_auto = 1 << max(12, min(16, (Xm.shape[0] // 192).bit_length()))
+        rt_auto = 1 << max(12, min(16, (Xm.shape[0] // 8).bit_length()))
         if rt_auto != cfg.ref_tile:
             cfg = dataclasses.replace(cfg, ref_tile=rt_auto)
 

@@ -198,17 +198,19 @@ def _sharded_knn(Q, Xf_local, f_valid, k, axis, ndev, ref_tile, query_tile):
 # --------------------------------------------------------------------------
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "has_normals", "mesh", "ndev")
+    jax.jit,
+    static_argnames=("cfg", "has_normals", "has_mov_planarity", "mesh", "ndev"),
 )
 def _icp_run_sharded(Xf, f_valid, Xm, m_valid, obs_vals, obs_w,
-                     normals_fix, planarity_fix,
+                     normals_fix, planarity_fix, planarity_mov,
                      *, cfg: IcpConfig, has_normals: bool,
+                     has_mov_planarity: bool,
                      mesh: jax.sharding.Mesh, ndev: int) -> IcpResult:
     axis = mesh.axis_names[0]
     qt, rt = cfg.query_tile, cfg.ref_tile
     C = cfg.correspondences
 
-    def spmd(Xf_l, fv_l, Xm_l, mv_l, obs_vals, obs_w, nrm_l, pla_l):
+    def spmd(Xf_l, fv_l, Xm_l, mv_l, obs_vals, obs_w, nrm_l, pla_l, pmov_l):
         dtype = Xf_l.dtype
         mrows = Xm_l.shape[0]
         frows = Xf_l.shape[0]
@@ -257,9 +259,15 @@ def _icp_run_sharded(Xf, f_valid, Xm, m_valid, obs_vals, obs_w,
         def gather_fn(m_idx):
             return _gather_rows(Xm_l, m_idx, axis)
 
+        mov_planarity_fn = (
+            (lambda m_idx: _gather_rows(pmov_l[:, None], m_idx, axis)[:, 0])
+            if has_mov_planarity else None
+        )
+
         final, uncertainties = run_icp_loop(
             Q, normals, planarity, sel_valid, obs_vals, obs_w, cfg, dtype,
             error, H0, match_fn, gather_fn,
+            mov_planarity_fn=mov_planarity_fn,
         )
 
         return IcpResult(
@@ -303,10 +311,11 @@ def _icp_run_sharded(Xf, f_valid, Xm, m_valid, obs_vals, obs_w,
         spmd,
         mesh=mesh,
         in_specs=(sharded2d, sharded, sharded2d, sharded, rep, rep,
-                  sharded2d, sharded),
+                  sharded2d, sharded, sharded),
         out_specs=out_specs,
         check_vma=False,
-    )(Xf, f_valid, Xm, m_valid, obs_vals, obs_w, normals_fix, planarity_fix)
+    )(Xf, f_valid, Xm, m_valid, obs_vals, obs_w, normals_fix, planarity_fix,
+      planarity_mov)
 
 
 def icp_register_sharded(
@@ -319,6 +328,7 @@ def icp_register_sharded(
     rbp_observation_weights=None,
     normals_fix=None,
     planarity_fix=None,
+    planarity_mov=None,
     dtype=None,
 ) -> IcpResult:
     """Multi-chip registration: same contract as models.icp.icp_register,
@@ -367,6 +377,13 @@ def icp_register_sharded(
         nrm = np.zeros((nf_pad, 3), np_dtype)
         pla = np.zeros((nf_pad,), np_dtype)
 
+    has_mov_planarity = planarity_mov is not None
+    pmov = (
+        _pad_to(np.asarray(planarity_mov, np_dtype), nm_pad)
+        if has_mov_planarity
+        else np.zeros((nm_pad,), np_dtype)
+    )
+
     shard1 = NamedSharding(mesh, P(axis))
     shard2 = NamedSharding(mesh, P(axis, None))
     rep = NamedSharding(mesh, P())
@@ -379,7 +396,9 @@ def icp_register_sharded(
         jax.device_put(jnp.asarray(obs_w), rep),
         jax.device_put(nrm, shard2),
         jax.device_put(pla, shard1),
+        jax.device_put(pmov, shard1),
     )
     return _icp_run_sharded(
-        *args, cfg=cfg, has_normals=has_normals, mesh=mesh, ndev=ndev
+        *args, cfg=cfg, has_normals=has_normals,
+        has_mov_planarity=has_mov_planarity, mesh=mesh, ndev=ndev,
     )
