@@ -62,7 +62,7 @@ logging.getLogger(__name__).addHandler(logging.NullHandler())
 from .config import IcpConfig  # noqa: E402
 from .corrpts import CorrPts, CorrPtsException  # noqa: E402
 from .models.solver import Parameter, RigidBodyParameters  # noqa: E402
-from .models.icp import IcpResult, icp_register  # noqa: E402
+from .models.icp import IcpResult, icp_register, icp_register_batch  # noqa: E402
 from .api import PointCloud, PointCloudException, SimpleICP, SimpleICPException  # noqa: E402
 
 __all__ = [
@@ -71,6 +71,7 @@ __all__ = [
     "IcpConfig",
     "IcpResult",
     "icp_register",
+    "icp_register_batch",
     "Parameter",
     "PointCloud",
     "PointCloudException",

@@ -343,6 +343,17 @@ def icp_register_sharded(
     ndev = int(np.prod(mesh.devices.shape))
     axis = mesh.axis_names[0]
 
+    # Same NN ref-tile auto-scaling as the single-chip driver, but against
+    # the per-shard movable block size (the scan per device runs over its
+    # local rows only).
+    if cfg.ref_tile == 4096:
+        import dataclasses
+
+        local_rows = -(-np.asarray(X_mov).shape[0] // ndev)
+        rt_auto = 1 << max(12, min(16, (local_rows // 8).bit_length()))
+        if rt_auto != cfg.ref_tile:
+            cfg = dataclasses.replace(cfg, ref_tile=rt_auto)
+
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     np_dtype = np.dtype(dtype.dtype if hasattr(dtype, "dtype") else dtype)

@@ -1,0 +1,90 @@
+"""CLI contract (reference flag names/defaults) and xyz I/O edge cases."""
+
+import numpy as np
+import pytest
+
+from simpleicp_tpu.cli import build_parser, main
+from simpleicp_tpu.utils.xyz_io import XyzIOError, read_xyz, write_xyz
+
+DATA = "/root/reference/data"
+
+
+def test_flag_names_match_reference_contract():
+    """Short+long option names follow the C++/Rust CLIs
+    (/root/reference/c++/src/simpleicp-cli.cpp:15-35,
+    /root/reference/rust/src/main.rs:8-9: underscores, not dashes)."""
+    p = build_parser()
+    args = p.parse_args([
+        "-f", "a.xyz", "-m", "b.xyz", "-c", "500", "-n", "5", "-p", "0.5",
+        "-o", "2.0", "-i", "0.5", "-x", "20",
+    ])
+    assert args.correspondences == 500
+    assert args.neighbors == 5
+    assert args.min_planarity == 0.5
+    assert args.max_overlap_distance == 2.0
+    assert args.min_change == 0.5
+    assert args.max_iterations == 20
+    # defaults
+    d = p.parse_args(["-f", "a", "-m", "b"])
+    assert (d.correspondences, d.neighbors, d.min_planarity) == (1000, 10, 0.3)
+    assert (d.max_overlap_distance, d.min_change, d.max_iterations) == (-1.0, 1.0, 100)
+
+
+def test_cli_end_to_end_with_export(tmp_path):
+    out = tmp_path / "out.xyz"
+    rc = main([
+        "-f", f"{DATA}/bunny_part1.xyz", "-m", f"{DATA}/bunny_part2.xyz",
+        "-o", "1", "--quiet", "--export", str(out),
+    ])
+    assert rc == 0
+    X = read_xyz(out)
+    assert X.shape == (21637, 3)
+
+
+def test_read_xyz_missing_file():
+    with pytest.raises(XyzIOError, match="does not exist"):
+        read_xyz("/nonexistent/nope.xyz")
+
+
+def test_read_xyz_wrong_columns(tmp_path):
+    bad = tmp_path / "bad.xyz"
+    bad.write_text("1 2 3 4\n5 6 7 8\n")
+    with pytest.raises(XyzIOError):
+        read_xyz(bad)
+
+
+def test_read_xyz_comments_and_blanks(tmp_path):
+    f = tmp_path / "ok.xyz"
+    f.write_text("//X Y Z\n\n1 2 3\n  4\t5 6  \n\n")
+    X = read_xyz(f)
+    np.testing.assert_array_equal(X, [[1, 2, 3], [4, 5, 6]])
+
+
+def test_read_xyz_non_numeric(tmp_path):
+    f = tmp_path / "nan.xyz"
+    f.write_text("1 2 three\n")
+    with pytest.raises(XyzIOError):
+        read_xyz(f)
+
+
+def test_write_read_roundtrip(tmp_path, rng):
+    X = rng.standard_normal((100, 3))
+    f = tmp_path / "rt.xyz"
+    write_xyz(f, X, fmt="%.9f")
+    np.testing.assert_allclose(read_xyz(f), X, atol=1e-8)
+
+
+def test_native_parser_if_built(tmp_path, rng):
+    """The ctypes-loaded C++ mmap parser agrees with the Python reader."""
+    try:
+        from simpleicp_tpu.native import read_xyz_native
+    except ImportError:
+        pytest.skip("native parser not built")
+    X = rng.standard_normal((500, 3))
+    f = tmp_path / "n.xyz"
+    write_xyz(f, X, fmt="%.9f")
+    np.testing.assert_allclose(read_xyz_native(str(f)), read_xyz(f), atol=0)
+    bad = tmp_path / "bad.xyz"
+    bad.write_text("1 2\n")
+    with pytest.raises(XyzIOError):
+        read_xyz_native(str(bad))
