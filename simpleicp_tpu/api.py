@@ -14,6 +14,7 @@ for drop-in use.
 
 from __future__ import annotations
 
+import functools
 import math
 import time
 from pathlib import Path
@@ -266,6 +267,8 @@ class SimpleICP:
         solver: str = "nonlinear",
         mad_scale: float = 1.4826,
         center: bool = True,
+        mesh=None,
+        num_devices: int = 0,
     ) -> Tuple[np.ndarray, np.ndarray, RigidBodyParameters, np.ndarray]:
         """Run the registration. Arguments, defaults, validation, output and
         return values follow /root/reference/python/simpleicp/simpleicp.py:75-133;
@@ -282,6 +285,10 @@ class SimpleICP:
             we under jax x64). Angle observations are unaffected by a pure
             frame translation. The initial transform from observed values is
             mapped exactly: t0' = t0 + R0 c - c.
+        mesh / num_devices: run the registration sharded over a
+            jax.sharding.Mesh (or over the first `num_devices` devices).
+            Same results, same logging contract; the clouds are sharded
+            over the mesh's points axis (parallel/sharded.py).
 
         Returns:
             (H, X_mov_transformed, rbp, distance_residuals)
@@ -351,7 +358,17 @@ class SimpleICP:
             Xm_run = X_mov_sel
 
         _log.info("Start iterations ...")
-        result = icp_core.icp_register(
+        if mesh is not None or num_devices:
+            from .parallel import make_mesh
+            from .parallel.sharded import icp_register_sharded
+
+            register = functools.partial(
+                icp_register_sharded,
+                mesh=mesh if mesh is not None else make_mesh(num_devices),
+            )
+        else:
+            register = icp_core.icp_register
+        result = register(
             Xf_run,
             Xm_run,
             cfg,

@@ -51,37 +51,6 @@ def main(argv=None) -> int:
 
     max_overlap = math.inf if args.max_overlap_distance < 0 else args.max_overlap_distance
 
-    if args.num_devices > 0:
-        # functional sharded path (class API replays the logging contract only
-        # for the single-chip driver for now)
-        import numpy as np
-
-        from .config import IcpConfig
-        from .parallel import icp_register_sharded, make_mesh
-
-        cfg = IcpConfig(
-            correspondences=args.correspondences,
-            neighbors=args.neighbors,
-            min_planarity=args.min_planarity,
-            max_overlap_distance=max_overlap,
-            min_change=args.min_change,
-            max_iterations=args.max_iterations,
-            solver=args.solver,
-        )
-        res = icp_register_sharded(
-            pc_fix.X, pc_mov.X, cfg, mesh=make_mesh(args.num_devices)
-        )
-        if int(res.error_code) != 0:
-            print(f"error code {int(res.error_code)}", file=sys.stderr)
-            return 1
-        H = np.asarray(res.H)
-        if not args.quiet:
-            for r in range(4):
-                print(f"[{H[r,0]:12.6f} {H[r,1]:12.6f} {H[r,2]:12.6f} {H[r,3]:12.6f}]")
-        if args.export:
-            write_xyz(args.export, pc_mov.X @ H[:3, :3].T + H[:3, 3])
-        return 0
-
     icp = SimpleICP(verbose=not args.quiet)
     icp.add_point_clouds(pc_fix, pc_mov)
     _, X_out, _, _ = icp.run(
@@ -93,6 +62,7 @@ def main(argv=None) -> int:
         max_iterations=args.max_iterations,
         solver=args.solver,
         debug_dirpath=args.debug_dirpath,
+        num_devices=args.num_devices,
     )
     if args.export:
         write_xyz(args.export, X_out)

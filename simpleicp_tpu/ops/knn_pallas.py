@@ -66,6 +66,134 @@ def _nn_kernel(q_ref, rx_ref, ry_ref, rz_ref, mask_ref, out_d_ref, out_i_ref,
         out_i_ref[:] = best_i[:]
 
 
+def _knn_kernel(q_ref, rx_ref, ry_ref, rz_ref, mask_ref, out_d_ref, out_i_ref,
+                best_d, best_i, *, ref_tile: int, k: int):
+    """k-NN via per-tile extract-min insertion.
+
+    Scratch holds the current k best (unsorted) per query row. For each
+    reference tile, k rounds of: take the tile's row-minimum, insert it over
+    the row's current worst if smaller, and mask it out of the tile. Any
+    tile value beyond its k smallest can never belong in the top-k, so k
+    insertion rounds per tile are sufficient. The output pass extracts the
+    scratch ascending (k more min rounds)."""
+    ri = pl.program_id(1)
+
+    @pl.when(ri == 0)
+    def _():
+        best_d[:] = jnp.full(best_d.shape, _BIG, best_d.dtype)
+        best_i[:] = jnp.zeros(best_i.shape, best_i.dtype)
+
+    Q = q_ref[:]
+    d2 = (Q[:, 0:1] - rx_ref[:]) ** 2
+    d2 += (Q[:, 1:2] - ry_ref[:]) ** 2
+    d2 += (Q[:, 2:3] - rz_ref[:]) ** 2
+    d2 += (1.0 - mask_ref[:]) * _BIG
+
+    tq = Q.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tq, ref_tile), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (tq, k), 1)
+
+    bd = best_d[:]
+    bi = best_i[:]
+    for _ in range(k):
+        tile_min = jnp.min(d2, axis=1)
+        tile_arg = jnp.argmin(d2, axis=1).astype(jnp.int32)
+        worst = jnp.max(bd, axis=1)
+        worst_pos = jnp.argmax(bd, axis=1).astype(jnp.int32)
+        take = tile_min < worst
+        at_worst = col == worst_pos[:, None]
+        repl = take[:, None] & at_worst
+        bd = jnp.where(repl, tile_min[:, None], bd)
+        bi = jnp.where(repl, (tile_arg + ri * ref_tile)[:, None], bi)
+        d2 = jnp.where(lane == tile_arg[:, None], _BIG, d2)
+    best_d[:] = bd
+    best_i[:] = bi
+
+    @pl.when(ri == pl.num_programs(1) - 1)
+    def _():
+        # ascending extraction of the k scratch entries
+        bd = best_d[:]
+        bi = best_i[:]
+        for j in range(k):
+            m = jnp.min(bd, axis=1)
+            a = jnp.argmin(bd, axis=1).astype(jnp.int32)
+            at_min = col == a[:, None]
+            # one-hot select (Mosaic has no row-gather on VMEM values)
+            sel = jnp.sum(jnp.where(at_min, bi, 0), axis=1)
+            out_d_ref[:, j] = m
+            out_i_ref[:, j] = sel
+            bd = jnp.where(at_min, _BIG, bd)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "ref_tile", "query_tile", "interpret")
+)
+def knn_search_pallas(queries: jnp.ndarray, refs: jnp.ndarray, k: int, *,
+                      ref_tile: int = 1024, query_tile: int = 512,
+                      ref_mask: jnp.ndarray | None = None,
+                      interpret: bool = False):
+    """k nearest neighbors (sorted ascending) — Pallas TPU kernel.
+
+    Same contract as ops/knn.knn_search: returns (dist2, idx) of shapes
+    (q, k). Slots beyond the number of valid references return _BIG / 0.
+    Exactly-equidistant neighbors may be ordered differently than the lax
+    kernel's top_k (extract-min insertion order vs sort stability); the
+    distances themselves are identical.
+
+    Default tiles are VMEM-sized for the k-insertion temporaries: the kernel
+    holds ~3 live (query_tile, ref_tile) f32 blocks, and the 16 MB scoped
+    VMEM limit rejects 1024x4096 at k=10 (measured: 28.7 MB requested).
+    """
+    n_q, n_r = queries.shape[0], refs.shape[0]
+    if k > n_r:
+        raise ValueError(f"k={k} exceeds number of reference points {n_r}")
+    dtype = queries.dtype
+
+    q_pad = (-n_q) % query_tile
+    r_pad = (-n_r) % ref_tile
+    Q = jnp.pad(queries, ((0, q_pad), (0, 0)))
+    R = jnp.pad(refs, ((0, r_pad), (0, 0)))
+    valid = jnp.arange(n_r + r_pad, dtype=jnp.int32) < n_r
+    if ref_mask is not None:
+        valid = valid & jnp.pad(ref_mask, (0, r_pad))
+    maskf = valid.astype(dtype)[None, :]
+    rx = R[:, 0][None, :]
+    ry = R[:, 1][None, :]
+    rz = R[:, 2][None, :]
+
+    n_q_tiles = (n_q + q_pad) // query_tile
+    n_r_tiles = (n_r + r_pad) // ref_tile
+
+    plane_spec = pl.BlockSpec(
+        (1, ref_tile), lambda qi, ri: (0, ri), memory_space=pltpu.VMEM
+    )
+    d2, idx = pl.pallas_call(
+        functools.partial(_knn_kernel, ref_tile=ref_tile, k=k),
+        grid=(n_q_tiles, n_r_tiles),
+        in_specs=[
+            pl.BlockSpec((query_tile, 3), lambda qi, ri: (qi, 0),
+                         memory_space=pltpu.VMEM),
+            plane_spec, plane_spec, plane_spec, plane_spec,
+        ],
+        out_specs=[
+            pl.BlockSpec((query_tile, k), lambda qi, ri: (qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((query_tile, k), lambda qi, ri: (qi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_q_tiles * query_tile, k), dtype),
+            jax.ShapeDtypeStruct((n_q_tiles * query_tile, k), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((query_tile, k), dtype),
+            pltpu.VMEM((query_tile, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(Q, rx, ry, rz, maskf)
+    return d2[:n_q], idx[:n_q]
+
+
 @functools.partial(
     jax.jit, static_argnames=("ref_tile", "query_tile", "interpret")
 )

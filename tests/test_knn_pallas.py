@@ -53,3 +53,32 @@ def test_pallas_odd_shapes(rng, nq, nr):
     d2, idx = nn_search_pallas(jnp.asarray(q), jnp.asarray(r), interpret=True)
     dd, ii = cKDTree(r).query(q)
     np.testing.assert_array_equal(np.asarray(idx), ii)
+
+
+@pytest.mark.parametrize("k", [1, 10, 40])
+def test_pallas_knn_matches_kdtree(rng, k):
+    q = rng.uniform(-10, 20, (700, 3)).astype(np.float32)
+    r = rng.uniform(-10, 20, (5000, 3)).astype(np.float32)
+    from simpleicp_tpu.ops.knn_pallas import knn_search_pallas
+
+    d2, idx = knn_search_pallas(jnp.asarray(q), jnp.asarray(r), k, interpret=True)
+    dd, ii = cKDTree(r).query(q, k=k)
+    if k == 1:
+        dd, ii = dd[:, None], ii[:, None]
+    np.testing.assert_array_equal(np.asarray(idx), ii)
+    np.testing.assert_allclose(np.asarray(d2), dd.astype(np.float32) ** 2, rtol=1e-4)
+
+
+def test_pallas_knn_ref_mask(rng):
+    from simpleicp_tpu.ops.knn_pallas import knn_search_pallas
+
+    q = rng.uniform(0, 1, (130, 3)).astype(np.float32)
+    r = rng.uniform(0, 1, (3000, 3)).astype(np.float32)
+    mask = np.zeros(len(r), bool)
+    mask[::2] = True
+    d2, idx = knn_search_pallas(
+        jnp.asarray(q), jnp.asarray(r), 5, ref_mask=jnp.asarray(mask),
+        interpret=True,
+    )
+    dd, ii = cKDTree(r[mask]).query(q, k=5)
+    np.testing.assert_array_equal(np.flatnonzero(mask)[ii], np.asarray(idx))
