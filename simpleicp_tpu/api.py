@@ -193,14 +193,24 @@ class PointCloud:
             self._cols["selected"][keep] = True
 
     def select_in_range(self, X: np.ndarray, max_range: float) -> None:
-        """Keep selected points whose NN in X is within max_range
-        (device tiled NN kernel instead of a KD-tree)."""
+        """Keep selected points whose NN in X is within max_range (device
+        tiled NN kernel instead of a KD-tree; the spatial-hash cell list
+        past ~1e12 pairs — see models/icp.py gate resolution)."""
         X = np.asarray(X)
         if X.ndim != 2 or X.shape[1] != 3:
             raise PointCloudException("X must have 3 columns!")
-        from .ops.knn import min_dist_sq
+        queries = self.X_selected
+        if queries.shape[0] * X.shape[0] > 2**41:
+            from .ops.gridhash import grid_cell_cap, min_dist_sq_grid
 
-        d2 = np.asarray(min_dist_sq(self.X_selected, X))
+            cap = grid_cell_cap(X, max_range)
+            d2 = np.asarray(
+                min_dist_sq_grid(queries, X, max_range, cell_cap=cap)
+            )
+        else:
+            from .ops.knn import min_dist_sq
+
+            d2 = np.asarray(min_dist_sq(queries, X))
         keep = d2 <= float(max_range) ** 2
         idx_new = self.idx_selected[keep]
         self.unselect_all_points()

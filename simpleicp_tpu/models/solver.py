@@ -171,6 +171,12 @@ def gn_solve(p0: jnp.ndarray, xm: jnp.ndarray, xf: jnp.ndarray, n: jnp.ndarray,
         N = N + jnp.diag(obs_w2)
         b = b + obs_w2 * (p - obs_vals64)
         N, b = _restrict_to_varying(N, b, vary_f)
+        # Relative Tikhonov damping: degenerate geometry (e.g. a perfect
+        # plane leaves in-plane motion unobservable) makes N rank-deficient
+        # and a bare Cholesky returns NaN; the reference's SVD / lmfit-TRF
+        # solvers pseudo-inverse through this. 1e-9-relative damping keeps
+        # non-degenerate solutions unchanged to ~9 digits.
+        N = N + jnp.eye(6, dtype=N.dtype) * (1e-9 * jnp.trace(N) / 6.0)
         delta = solve_spd6(N, b)
         return p - delta, None
 
@@ -204,6 +210,8 @@ def linearized_solve(xm_t: jnp.ndarray, xf: jnp.ndarray, n: jnp.ndarray,
     l = jnp.sum(n64 * (xf64 - xm64), axis=1)
     w = mask.astype(f64)
     N, b = _masked_normal_equations(A, l, w)
+    # degenerate-geometry damping, as in gn_solve
+    N = N + jnp.eye(6, dtype=N.dtype) * (1e-9 * jnp.trace(N) / 6.0)
     sol = solve_spd6(N, b)
     residuals = (A @ sol - l).astype(dtype)
     sol = sol.astype(dtype)
@@ -246,6 +254,9 @@ def estimate_uncertainties(p: jnp.ndarray, xm: jnp.ndarray, xf: jnp.ndarray,
     N = J.T @ (J * w_rows[:, None])
     N = N + jnp.diag(jnp.where(is_obs, obs_w64, 0.0))
     N = N * vary_f[:, None] * vary_f[None, :] + jnp.diag(1.0 - vary_f)
+    # degenerate-geometry damping, as in gn_solve (unobservable parameters
+    # then report huge-but-finite sigmas instead of NaN-poisoning all six)
+    N = N + jnp.eye(6, dtype=N.dtype) * (1e-9 * jnp.trace(N) / 6.0)
     Qxx = inv_spd6(N)
 
     vPv = jnp.sum(w_rows * r * r) + jnp.sum(

@@ -204,3 +204,33 @@ def test_movable_planarity_gating(rng):
     icp3.add_point_clouds(pc1b, pc2b)
     with pytest.raises(SimpleICPException, match="Too few correspondences"):
         icp3.run(max_iterations=5)
+
+
+def test_tiny_fixed_cloud_fewer_than_correspondences(rng):
+    """nf < correspondences: all fixed points become queries, masked slots
+    stay inert (multisensor-style size asymmetry, but on the fixed side)."""
+    n = 60
+    xy = rng.uniform(-1, 1, size=(n, 2))
+    # curved surface: a perfect plane leaves in-plane motion unobservable
+    X1 = np.column_stack([xy, 0.2 * np.sin(2 * xy[:, 0]) + 0.1 * xy[:, 1] ** 2])
+    X2 = X1 - np.array([0.02, -0.01, 0.005])
+    icp = SimpleICP(verbose=False)
+    icp.add_point_clouds(PointCloud(X1), PointCloud(X2))
+    H, _, _, residuals = icp.run(neighbors=5, max_iterations=30)
+    np.testing.assert_allclose(H[:3, 3], [0.02, -0.01, 0.005], atol=1e-3)
+    assert len(residuals) <= n
+
+
+def test_metrics_module(rng):
+    from simpleicp_tpu.metrics import chamfer_distance, nn_rmse, rotation_angle_deg
+
+    X = rng.uniform(-1, 1, (2000, 3))
+    assert nn_rmse(X, X) == 0.0
+    assert chamfer_distance(X, X) == 0.0
+    shifted = X + 0.001
+    assert 0 < nn_rmse(shifted, X) < 0.01
+    R = np.eye(3)
+    assert rotation_angle_deg(R, R) == 0.0
+    a = np.deg2rad(5.0)
+    Rz = np.array([[np.cos(a), -np.sin(a), 0], [np.sin(a), np.cos(a), 0], [0, 0, 1]])
+    np.testing.assert_allclose(rotation_angle_deg(R, Rz), 5.0, atol=1e-9)

@@ -141,3 +141,20 @@ def test_too_few_correspondences_flag(rng):
     X = rng.normal(size=(500, 3))  # isotropic noise: planarity ~ 0.3-ish
     res = icp_register(X, X + 0.01, IcpConfig(min_planarity=0.999, correspondences=100))
     assert int(res.error_code) == icp_core.ERR_TOO_FEW_CORRESPONDENCES
+
+
+def test_degenerate_plane_no_nan(rng):
+    """A perfectly planar cloud leaves in-plane motion unobservable
+    (rank-deficient J^T J). The damped solver must stay finite and still
+    recover the observable out-of-plane offset, like the reference's SVD /
+    lmfit pseudo-inverse behavior."""
+    xy = rng.uniform(-1, 1, size=(2000, 2))
+    X1 = np.column_stack([xy, 0.1 * xy[:, 0]])  # exact plane
+    X2 = X1 - np.array([0.0, 0.0, 0.02])
+    res = icp_register(X1, X2, IcpConfig(correspondences=200, max_iterations=20))
+    H = np.asarray(res.H)
+    assert np.all(np.isfinite(H))
+    assert int(res.error_code) == 0
+    # out-of-plane alignment achieved: residual p2plane distances ~ 0
+    mask = np.asarray(res.residual_mask)
+    assert np.abs(np.asarray(res.residuals)[mask]).max() < 1e-4
