@@ -171,12 +171,15 @@ def gn_solve(p0: jnp.ndarray, xm: jnp.ndarray, xf: jnp.ndarray, n: jnp.ndarray,
         N = N + jnp.diag(obs_w2)
         b = b + obs_w2 * (p - obs_vals64)
         N, b = _restrict_to_varying(N, b, vary_f)
-        # Relative Tikhonov damping: degenerate geometry (e.g. a perfect
+        # Marquardt-style damping: degenerate geometry (e.g. a perfect
         # plane leaves in-plane motion unobservable) makes N rank-deficient
         # and a bare Cholesky returns NaN; the reference's SVD / lmfit-TRF
-        # solvers pseudo-inverse through this. 1e-9-relative damping keeps
-        # non-degenerate solutions unchanged to ~9 digits.
-        N = N + jnp.eye(6, dtype=N.dtype) * (1e-9 * jnp.trace(N) / 6.0)
+        # solvers pseudo-inverse through this. Damping must be relative to
+        # each diagonal entry, NOT the trace: rotation and translation
+        # columns differ by |coords|^2 (~1e13 at UTM scale), and a
+        # trace-average would crush the small block. For any PSD N with
+        # positive diagonal, N + lambda*diag(N) is positive definite.
+        N = N + jnp.diag(jnp.diagonal(N) * 1e-9 + 1e-30)
         delta = solve_spd6(N, b)
         return p - delta, None
 
@@ -210,8 +213,8 @@ def linearized_solve(xm_t: jnp.ndarray, xf: jnp.ndarray, n: jnp.ndarray,
     l = jnp.sum(n64 * (xf64 - xm64), axis=1)
     w = mask.astype(f64)
     N, b = _masked_normal_equations(A, l, w)
-    # degenerate-geometry damping, as in gn_solve
-    N = N + jnp.eye(6, dtype=N.dtype) * (1e-9 * jnp.trace(N) / 6.0)
+    # degenerate-geometry damping, as in gn_solve (diagonal-relative)
+    N = N + jnp.diag(jnp.diagonal(N) * 1e-9 + 1e-30)
     sol = solve_spd6(N, b)
     residuals = (A @ sol - l).astype(dtype)
     sol = sol.astype(dtype)
@@ -256,7 +259,7 @@ def estimate_uncertainties(p: jnp.ndarray, xm: jnp.ndarray, xf: jnp.ndarray,
     N = N * vary_f[:, None] * vary_f[None, :] + jnp.diag(1.0 - vary_f)
     # degenerate-geometry damping, as in gn_solve (unobservable parameters
     # then report huge-but-finite sigmas instead of NaN-poisoning all six)
-    N = N + jnp.eye(6, dtype=N.dtype) * (1e-9 * jnp.trace(N) / 6.0)
+    N = N + jnp.diag(jnp.diagonal(N) * 1e-9 + 1e-30)
     Qxx = inv_spd6(N)
 
     vPv = jnp.sum(w_rows * r * r) + jnp.sum(

@@ -30,30 +30,45 @@ def _true_H():
     return H
 
 
-def test_centered_matches_uncentered_f64(rng):
-    """center=True must be an exact reparametrization: same H as
-    center=False in f64 (where centering isn't needed for precision)."""
+def test_centered_identifies_translation_at_utm_scale(rng):
+    """At UTM scale a tiny rotation about the distant origin is locally
+    indistinguishable from a translation (the gauge-degenerate valley), so
+    only the centered run is guaranteed to identify the true parameters.
+    The uncentered run must still produce a valid ALIGNMENT (some point in
+    the valley), just not necessarily the canonical parameters."""
     X_fix = _surface(rng) + UTM_OFFSET
-    # True motion: small rotation about the cloud centroid plus a small
-    # shift (a rotation about the UTM origin would displace the cloud by
-    # kilometers and there would be nothing to register).
-    H_loc = _true_H()
-    cpt = X_fix.mean(axis=0)
-    R, t = H_loc[:3, :3], H_loc[:3, 3] + cpt - H_loc[:3, :3] @ cpt
-    # movable = inverse-transformed fixed, so registration recovers (R, t)
-    X_mov = (X_fix - t) @ R
+    t = np.array([0.08, -0.05, 0.03])
+    X_mov = X_fix - t
 
     Hs = {}
     for center in (True, False):
         icp = SimpleICP(verbose=False)
         icp.add_point_clouds(PointCloud(X_fix.copy()), PointCloud(X_mov.copy()))
-        H, _, rbp, _ = icp.run(center=center)
+        H, _, _, _ = icp.run(center=center)
         Hs[center] = H
-    # identical optimum, not bit-identical paths: at 5e6-scale coordinates
-    # even f64 rounding (~1e-9/coordinate) flips argmin/MAD edge cases
-    np.testing.assert_allclose(Hs[True], Hs[False], rtol=0, atol=1e-4)
-    # and the recovered transform moves the cloud onto the fixed one
-    X_chk = X_mov @ Hs[True][:3, :3].T + Hs[True][:3, 3]
+    # centered: exact parameter identification
+    np.testing.assert_allclose(Hs[True][:3, 3], t, atol=1e-6)
+    # uncentered: alignment quality only
+    X_chk = X_mov @ Hs[False][:3, :3].T + Hs[False][:3, 3]
+    assert np.sqrt(np.mean((X_chk - X_fix) ** 2)) < 1e-3
+
+
+def test_centered_recovers_rotation_at_utm_scale(rng):
+    """A rotation about a 5e6-distant centroid makes the uncentered normal
+    equations ~1e13-conditioned (rotation/translation column scales) — the
+    regime centering exists for. The centered run must recover the motion
+    exactly; we don't require the uncentered run to."""
+    X_fix = _surface(rng) + UTM_OFFSET
+    H_loc = _true_H()
+    cpt = X_fix.mean(axis=0)
+    R = H_loc[:3, :3]
+    t = H_loc[:3, 3] + cpt - R @ cpt  # rotate about centroid + small shift
+    X_mov = (X_fix - t) @ R
+
+    icp = SimpleICP(verbose=False)
+    icp.add_point_clouds(PointCloud(X_fix), PointCloud(X_mov))
+    H, _, _, _ = icp.run(center=True)
+    X_chk = X_mov @ H[:3, :3].T + H[:3, 3]
     assert np.sqrt(np.mean((X_chk - X_fix) ** 2)) < 1e-3
 
 
