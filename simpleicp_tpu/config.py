@@ -64,6 +64,10 @@ class IcpConfig:
     query_tile: int = 2048
     ref_tile: int = 4096
     use_pallas: bool = True
+    # Normal-estimation kNN via the TPU's hardware-assisted approx_min_k
+    # (exact distances, ~0.95-recall candidate set per tile). Off by
+    # default: reference parity assumes exact kNN.
+    approx_knn: bool = False
     # Overlap-gate engine: "brute" = tiled dense distance sweep (exact,
     # O(nf*nm)); "grid" = spatial-hash cell list (ops/gridhash.py, exact for
     # the within-radius question, O(27*cell_cap) per query — required at the

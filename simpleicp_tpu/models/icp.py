@@ -330,7 +330,10 @@ def _icp_run(Xf, Xm, obs_vals, obs_w, normals_fix, planarity_fix,
         normals = normals_fix[sel_idx]
         planarity = planarity_fix[sel_idx]
     else:
-        _, idxk = knn_search(Q, Xf, cfg.neighbors, ref_tile=rt, query_tile=qt)
+        _, idxk = knn_search(
+            Q, Xf, cfg.neighbors, ref_tile=rt, query_tile=qt,
+            approx=cfg.approx_knn,
+        )
         neigh = Xf[idxk]  # (C, k, 3)
         normals, planarity, _ = estimate_normals_from_neighborhoods(neigh)
 

@@ -112,14 +112,23 @@ def nn_search(queries: jnp.ndarray, refs: jnp.ndarray, *, ref_tile: int = 4096,
     return d2.reshape(-1)[:n_q], idx.reshape(-1)[:n_q]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "ref_tile", "query_tile"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "ref_tile", "query_tile", "approx")
+)
 def knn_search(queries: jnp.ndarray, refs: jnp.ndarray, k: int, *, ref_tile: int = 4096,
-               query_tile: int = 2048, ref_mask: jnp.ndarray | None = None):
+               query_tile: int = 2048, ref_mask: jnp.ndarray | None = None,
+               approx: bool = False):
     """k nearest neighbors of each query among refs (sorted ascending).
 
     Args:
         ref_mask: optional (r,) bool — invalid reference rows are never
             selected (padded-shard support; their slots return dist2=+inf).
+        approx: use `jax.lax.approx_min_k` per reference tile (the TPU's
+            hardware-assisted partial reduction; default recall ~0.95 per
+            tile) with an exact top-k merge across tiles. Distances of the
+            returned neighbors are exact; only the candidate set is
+            approximate. Off by default — the pipeline's parity tests
+            assume exact kNN.
 
     Returns:
         (dist2, idx): shapes (q, k) — exact squared distances and int32
@@ -148,13 +157,21 @@ def knn_search(queries: jnp.ndarray, refs: jnp.ndarray, k: int, *, ref_tile: int
         def body(carry, xs):
             best_d, best_i = carry  # (qt, k) running top-k, ascending
             R, valid, base = xs
-            d2 = _dist2_block(Q, R)
-            d2 = jnp.where(valid[None, :], d2, _BIG)
+            d2 = jnp.where(valid[None, :], _dist2_block(Q, R), _BIG)
             tile_idx = base + jnp.arange(ref_tile, dtype=jnp.int32)
-            cand_d = jnp.concatenate([best_d, d2], axis=1)
-            cand_i = jnp.concatenate(
-                [best_i, jnp.broadcast_to(tile_idx[None, :], d2.shape)], axis=1
-            )
+            if approx:
+                # hardware-assisted per-tile partial top-k, then an exact
+                # merge over the (k + k) surviving candidates
+                t_d, t_pos = lax.approx_min_k(d2, k)
+                t_i = tile_idx[t_pos]
+                cand_d = jnp.concatenate([best_d, t_d], axis=1)
+                cand_i = jnp.concatenate([best_i, t_i], axis=1)
+            else:
+                cand_d = jnp.concatenate([best_d, d2], axis=1)
+                cand_i = jnp.concatenate(
+                    [best_i, jnp.broadcast_to(tile_idx[None, :], d2.shape)],
+                    axis=1,
+                )
             # top_k over the negated distances = k smallest, sorted ascending.
             neg_top, pos = lax.top_k(-cand_d, k)
             new_d = -neg_top

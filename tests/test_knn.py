@@ -61,3 +61,21 @@ def test_small_inputs():
     assert int(idx[0]) == 1
     d2k, idxk = knn_search(queries, refs, 3)
     assert list(np.asarray(idxk)[0]) == [1, 0, 2]
+
+
+def test_knn_approx_flag(rng):
+    """approx=True (hardware-assisted partial top-k on TPU; exact fallback
+    on CPU) keeps the contract: sorted ascending, exact distances."""
+    from scipy.spatial import cKDTree
+
+    import jax.numpy as jnp
+
+    from simpleicp_tpu.ops.knn import knn_search
+
+    q = rng.uniform(-5, 5, (300, 3))
+    r = rng.uniform(-5, 5, (8000, 3))
+    d2, idx = knn_search(jnp.asarray(q), jnp.asarray(r), 8, approx=True)
+    dd, ii = cKDTree(r).query(q, k=8)
+    # CPU backend: approx_min_k falls back to exact
+    np.testing.assert_array_equal(np.asarray(idx), ii)
+    np.testing.assert_allclose(np.asarray(d2), dd**2, rtol=1e-10)
