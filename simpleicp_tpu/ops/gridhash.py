@@ -67,6 +67,74 @@ def grid_cell_cap(refs: np.ndarray, radius: float) -> int:
     return int(counts.max()) if counts.size else 1
 
 
+def build_sorted_grid(refs: jnp.ndarray, radius, valid: jnp.ndarray | None = None):
+    """Sort references by hash slot for binary-search cell lookup.
+
+    Invalid rows get slot _HASH_SIZE (beyond every query slot, sorted last,
+    never matched). Returns (sorted_pts, sorted_slots, order, origin).
+    The structure is position-independent — it can be shipped to another
+    device (ring pass) as long as `origin` travels with it.
+    """
+    dtype = refs.dtype
+    radius = jnp.asarray(radius, dtype)
+    if valid is not None:
+        big = jnp.asarray(1e30, dtype)
+        origin = jnp.min(jnp.where(valid[:, None], refs, big), axis=0)
+    else:
+        origin = jnp.min(refs, axis=0)
+    slots = _slot_of(_cell_of(refs, origin, 1.0 / radius))
+    if valid is not None:
+        slots = jnp.where(valid, slots, jnp.int32(_HASH_SIZE))
+    order = jnp.argsort(slots)
+    return refs[order], slots[order], order, origin
+
+
+def grid_query_sorted(queries: jnp.ndarray, sorted_pts: jnp.ndarray,
+                      sorted_slots: jnp.ndarray, origin: jnp.ndarray,
+                      radius, *, cell_cap: int, chunk: int = 2048):
+    """Min squared distance (and sorted-array position) from each query to
+    the 27-neighbor-cell candidates of a pre-built sorted grid. Exact for
+    the within-`radius` question; (+inf, 0) when no candidate exists."""
+    n_q = queries.shape[0]
+    n_r = sorted_pts.shape[0]
+    dtype = queries.dtype
+    inv_cell = 1.0 / jnp.asarray(radius, dtype)
+
+    q_pad = (-n_q) % chunk
+    queries_p = jnp.pad(queries, ((0, q_pad), (0, 0)))
+    q_chunks = queries_p.reshape(-1, chunk, 3)
+
+    offsets = [
+        jnp.asarray([dx, dy, dz], jnp.int32)
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)
+    ]
+
+    def chunk_fn(Q):
+        qcell = _cell_of(Q, origin, inv_cell)
+        best_d = jnp.full((chunk,), jnp.inf, dtype)
+        best_p = jnp.zeros((chunk,), jnp.int32)
+        for off in offsets:
+            slot = _slot_of(qcell + off[None, :])
+            start = jnp.searchsorted(sorted_slots, slot, side="left")
+            end = jnp.searchsorted(sorted_slots, slot, side="right")
+            pos = start[:, None] + jnp.arange(cell_cap, dtype=jnp.int32)[None, :]
+            valid = pos < end[:, None]
+            pos_c = jnp.minimum(pos, n_r - 1)
+            cand = sorted_pts[pos_c]
+            d2 = jnp.sum((Q[:, None, :] - cand) ** 2, axis=-1)
+            d2 = jnp.where(valid, d2, jnp.inf)
+            cmin = jnp.min(d2, axis=1)
+            carg = jnp.argmin(d2, axis=1)
+            cpos = jnp.take_along_axis(pos_c, carg[:, None], 1)[:, 0]
+            take = cmin < best_d
+            best_d = jnp.where(take, cmin, best_d)
+            best_p = jnp.where(take, cpos.astype(jnp.int32), best_p)
+        return best_d, best_p
+
+    d2, pos = lax.map(chunk_fn, q_chunks)
+    return d2.reshape(-1)[:n_q], pos.reshape(-1)[:n_q]
+
+
 @functools.partial(jax.jit, static_argnames=("cell_cap", "chunk"))
 def nn_within_radius_grid(queries: jnp.ndarray, refs: jnp.ndarray,
                           radius, *, cell_cap: int, chunk: int = 2048):
@@ -85,51 +153,12 @@ def nn_within_radius_grid(queries: jnp.ndarray, refs: jnp.ndarray,
         within the 27-cell neighborhood — exact whenever the true NN is
         within `radius`; (+inf, 0) when no reference is that close.
     """
-    n_q, n_r = queries.shape[0], refs.shape[0]
-    dtype = queries.dtype
-    radius = jnp.asarray(radius, dtype)
-    origin = jnp.min(refs, axis=0)
-    inv_cell = 1.0 / radius
-
-    ref_slots = _slot_of(_cell_of(refs, origin, inv_cell))
-    order = jnp.argsort(ref_slots)
-    sorted_slots = ref_slots[order]
-    sorted_pts = refs[order]
-
-    q_pad = (-n_q) % chunk
-    queries_p = jnp.pad(queries, ((0, q_pad), (0, 0)))
-    q_chunks = queries_p.reshape(-1, chunk, 3)
-
-    offsets = [
-        jnp.asarray([dx, dy, dz], jnp.int32)
-        for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)
-    ]
-
-    def chunk_fn(Q):
-        qcell = _cell_of(Q, origin, inv_cell)  # (chunk, 3)
-        best_d = jnp.full((chunk,), jnp.inf, dtype)
-        best_i = jnp.zeros((chunk,), jnp.int32)
-        for off in offsets:
-            slot = _slot_of(qcell + off[None, :])  # (chunk,)
-            start = jnp.searchsorted(sorted_slots, slot, side="left")
-            end = jnp.searchsorted(sorted_slots, slot, side="right")
-            # (chunk, cap) candidate positions in the sorted order
-            pos = start[:, None] + jnp.arange(cell_cap, dtype=jnp.int32)[None, :]
-            valid = pos < end[:, None]
-            pos_c = jnp.minimum(pos, n_r - 1)
-            cand = sorted_pts[pos_c]  # (chunk, cap, 3)
-            d2 = jnp.sum((Q[:, None, :] - cand) ** 2, axis=-1)
-            d2 = jnp.where(valid, d2, jnp.inf)
-            cmin = jnp.min(d2, axis=1)
-            carg = jnp.argmin(d2, axis=1)
-            cidx = order[jnp.take_along_axis(pos_c, carg[:, None], 1)[:, 0]]
-            take = cmin < best_d
-            best_d = jnp.where(take, cmin, best_d)
-            best_i = jnp.where(take, cidx.astype(jnp.int32), best_i)
-        return best_d, best_i
-
-    d2, idx = lax.map(chunk_fn, q_chunks)
-    return d2.reshape(-1)[:n_q], idx.reshape(-1)[:n_q]
+    sorted_pts, sorted_slots, order, origin = build_sorted_grid(refs, radius)
+    d2, pos = grid_query_sorted(
+        queries, sorted_pts, sorted_slots, origin, radius,
+        cell_cap=cell_cap, chunk=chunk,
+    )
+    return d2, order[pos].astype(jnp.int32)
 
 
 def min_dist_sq_grid(queries, refs, radius, *, cell_cap: int, chunk: int = 2048):

@@ -116,6 +116,39 @@ def _ring_min_dist2(Qf_local, f_valid, Xm_local, m_valid, axis, ndev,
     return jnp.where(f_valid, best, jnp.inf)
 
 
+def _ring_min_dist2_grid(Qf_local, f_valid, Xm_local, m_valid, radius,
+                         cell_cap, axis, ndev):
+    """Spatial-hash variant of the ring gate for 50M+-point shards: each
+    device sorts its movable block into a cell list ONCE, then the sorted
+    structure (points, slots, origin) travels the ring, so every ring step
+    is an O(27*cell_cap)-per-query lookup instead of an O(rows) sweep.
+    `cell_cap` must bound the max slot occupancy of every shard (a cap
+    computed on the full cloud is a valid upper bound)."""
+    from ..ops.gridhash import build_sorted_grid, grid_query_sorted
+
+    perm = [(i, (i + 1) % ndev) for i in range(ndev)]
+    sorted_pts, sorted_slots, _, origin = build_sorted_grid(
+        Xm_local, radius, valid=m_valid
+    )
+
+    def step(s, carry):
+        best, pts, slots, org = carry
+        d2, _ = grid_query_sorted(
+            Qf_local, pts, slots, org, radius, cell_cap=cell_cap
+        )
+        best = jnp.minimum(best, d2)
+        pts = lax.ppermute(pts, axis, perm)
+        slots = lax.ppermute(slots, axis, perm)
+        org = lax.ppermute(org, axis, perm)
+        return best, pts, slots, org
+
+    best0 = jnp.full((Qf_local.shape[0],), jnp.inf, Qf_local.dtype)
+    best, _, _, _ = lax.fori_loop(
+        0, ndev, step, (best0, sorted_pts, sorted_slots, origin)
+    )
+    return jnp.where(f_valid, best, jnp.inf)
+
+
 def _sharded_select_n(sel_local, Xf_local, C, axis, ndev, dtype):
     """Distributed fixed-count equidistant selection.
 
@@ -222,7 +255,15 @@ def _icp_run_sharded(Xf, f_valid, Xm, m_valid, obs_vals, obs_w,
         # ---- overlap gate (ring pass over movable shards) ----
         if cfg.overlap_enabled:
             Xm0_l = apply_H(Xm_l, H0)
-            d2 = _ring_min_dist2(Xf_l, fv_l, Xm0_l, mv_l, axis, ndev, rt, qt)
+            if cfg.gate_method == "grid":
+                d2 = _ring_min_dist2_grid(
+                    Xf_l, fv_l, Xm0_l, mv_l, cfg.max_overlap_distance,
+                    max(cfg.grid_cell_cap, 1), axis, ndev,
+                )
+            else:
+                d2 = _ring_min_dist2(
+                    Xf_l, fv_l, Xm0_l, mv_l, axis, ndev, rt, qt
+                )
             sel_l = fv_l & (d2 <= jnp.asarray(cfg.max_overlap_distance, dtype) ** 2)
             any_sel = lax.psum(jnp.sum(sel_l), axis) > 0
             error = jnp.where(any_sel, error, jnp.int32(ERR_NO_OVERLAP))
@@ -353,6 +394,37 @@ def icp_register_sharded(
         rt_auto = 1 << max(12, min(16, (local_rows // 8).bit_length()))
         if rt_auto != cfg.ref_tile:
             cfg = dataclasses.replace(cfg, ref_tile=rt_auto)
+
+    # Overlap-gate engine resolution, mirroring models.icp.icp_register:
+    # dense ring below ~1e12 pairs, traveling sorted cell lists beyond.
+    if cfg.overlap_enabled:
+        import dataclasses
+
+        resolved = cfg.gate_method
+        if resolved == "auto":
+            nf_, nm_ = np.asarray(X_fix).shape[0], np.asarray(X_mov).shape[0]
+            resolved = "grid" if nf_ * nm_ > 2**41 else "brute"
+        cap = cfg.grid_cell_cap
+        if resolved == "grid" and cap == 0:
+            from ..models.solver import RigidBodyParameters
+            from ..ops.gridhash import grid_cell_cap
+
+            Xm_np = np.asarray(X_mov, np.float64)
+            if rbp_observed_values is not None and np.any(
+                np.asarray(rbp_observed_values)
+            ):
+                rbp = RigidBodyParameters()
+                rbp.set_parameter_attributes_from_list(
+                    "estimated_value", np.asarray(rbp_observed_values)
+                )
+                H0_np = rbp.H
+                Xm_np = Xm_np @ H0_np[:3, :3].T + H0_np[:3, 3]
+            # full-cloud cap upper-bounds every shard's slot occupancy
+            cap = grid_cell_cap(Xm_np, cfg.max_overlap_distance)
+        if (resolved, cap) != (cfg.gate_method, cfg.grid_cell_cap):
+            cfg = dataclasses.replace(
+                cfg, gate_method=resolved, grid_cell_cap=cap
+            )
 
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32

@@ -90,3 +90,27 @@ def test_sharded_frozen_params(rng):
     H = np.asarray(res.H)
     np.testing.assert_allclose(H[:3, :3], np.eye(3), atol=1e-12)
     np.testing.assert_allclose(H[:3, 3], [0.05, 0.0, 0.01], atol=2e-3)
+
+
+def test_sharded_grid_gate_matches_brute(rng):
+    """The traveling-sorted-cell-list ring gate must select exactly the same
+    fixed points (and hence the same registration) as the dense ring gate."""
+    X_fix = _surface(rng, 3011)
+    X_mov = _surface(rng, 2993) - np.array([0.03, 0.01, -0.02])
+    mesh = make_mesh(8)
+    results = {}
+    for gm in ("brute", "grid"):
+        cfg = IcpConfig(
+            correspondences=200, max_iterations=20,
+            max_overlap_distance=0.5, gate_method=gm,
+        )
+        results[gm] = icp_register_sharded(X_fix, X_mov, cfg, mesh=mesh)
+    rb, rg = results["brute"], results["grid"]
+    assert int(rb.error_code) == 0 and int(rg.error_code) == 0
+    np.testing.assert_array_equal(
+        np.asarray(rb.sel_idx), np.asarray(rg.sel_idx)
+    )
+    np.testing.assert_allclose(
+        np.asarray(rb.H), np.asarray(rg.H), atol=1e-9
+    )
+    assert int(rb.n_iterations) == int(rg.n_iterations)
