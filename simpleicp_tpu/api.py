@@ -277,6 +277,7 @@ class SimpleICP:
         solver: str = "nonlinear",
         mad_scale: float = 1.4826,
         center: bool = True,
+        approx_knn: bool = False,
         mesh=None,
         num_devices: int = 0,
     ) -> Tuple[np.ndarray, np.ndarray, RigidBodyParameters, np.ndarray]:
@@ -335,6 +336,7 @@ class SimpleICP:
             distance_weights=distance_weights,
             solver=solver,
             mad_scale=mad_scale,
+            approx_knn=approx_knn,
         )
 
         if cfg.overlap_enabled:

@@ -36,6 +36,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--num-devices", type=int, default=0,
         help="shard the registration over this many devices (0 = single-chip)",
     )
+    p.add_argument(
+        "--approx-knn", action="store_true",
+        help="hardware-assisted approximate kNN for normal estimation "
+             "(TPU serving config; ~30%% faster, exact distances, "
+             "~0.997 candidate recall)",
+    )
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -62,6 +68,7 @@ def main(argv=None) -> int:
         max_iterations=args.max_iterations,
         solver=args.solver,
         debug_dirpath=args.debug_dirpath,
+        approx_knn=args.approx_knn,
         num_devices=args.num_devices,
     )
     if args.export:

@@ -114,3 +114,10 @@ def test_sharded_grid_gate_matches_brute(rng):
         np.asarray(rb.H), np.asarray(rg.H), atol=1e-9
     )
     assert int(rb.n_iterations) == int(rg.n_iterations)
+
+
+def test_multihost_helpers_single_process():
+    from simpleicp_tpu.parallel import process_info
+
+    idx, cnt = process_info()
+    assert idx == 0 and cnt >= 1
