@@ -337,6 +337,7 @@ class SimpleICP:
             solver=solver,
             mad_scale=mad_scale,
             approx_knn=approx_knn,
+            record_trajectory=bool(debug_dirpath),
         )
 
         if cfg.overlap_enabled:

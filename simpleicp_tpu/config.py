@@ -68,6 +68,11 @@ class IcpConfig:
     # (exact distances, ~0.95-recall candidate set per tile). Off by
     # default: reference parity assumes exact kNN.
     approx_knn: bool = False
+    # Record the per-iteration trajectory (parameters, matched indices,
+    # masks, distances) needed to replay the reference's debug xyz dumps.
+    # Off by default: the (max_iterations, correspondences) buffers ride the
+    # while_loop carry. The class API turns it on when debug_dirpath is set.
+    record_trajectory: bool = False
     # Overlap-gate engine: "brute" = tiled dense distance sweep (exact,
     # O(nf*nm)); "grid" = spatial-hash cell list (ops/gridhash.py, exact for
     # the within-radius question, O(27*cell_cap) per query — required at the

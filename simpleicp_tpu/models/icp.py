@@ -258,10 +258,13 @@ def run_icp_loop(Q, normals, planarity, sel_valid, obs_vals, obs_w,
         residuals=jnp.zeros((C,), dtype),
         residual_mask=jnp.zeros((C,), bool),
         m_idx=jnp.zeros((C,), jnp.int32),
-        iter_ps=jnp.zeros((T, 6), dtype),
-        iter_midx=jnp.zeros((T, C), jnp.int32),
-        iter_masks=jnp.zeros((T, C), bool),
-        iter_dists=jnp.zeros((T, C), dtype),
+        # Trajectory buffers shrink to one slot when recording is off (the
+        # .at[it] writes then clamp to slot 0 — dead weight removed from
+        # the carry without a structural branch).
+        iter_ps=jnp.zeros((T if cfg.record_trajectory else 1, 6), dtype),
+        iter_midx=jnp.zeros((T if cfg.record_trajectory else 1, C), jnp.int32),
+        iter_masks=jnp.zeros((T if cfg.record_trajectory else 1, C), bool),
+        iter_dists=jnp.zeros((T if cfg.record_trajectory else 1, C), dtype),
     )
 
     final = jax.lax.while_loop(cond, body, init)
