@@ -47,8 +47,11 @@ class IcpConfig:
             C++/Rust/Julia/MATLAB family (SURVEY.md §2.8).
         gn_iterations: inner Gauss-Newton steps for the "nonlinear" solver.
         query_tile / ref_tile: tile sizes of the distance kernels.
-        use_pallas: use the Pallas NN kernel on TPU where applicable (falls
-            back to the lax kernel automatically off-TPU).
+        use_pallas: use the hand-scheduled Pallas NN kernel for the overlap
+            gate on TPU. Off by default: measured, the lax kernel wins at
+            every scale (XLA's pipelining + larger tiles; 1M x 1M gate
+            4.6 s lax vs 6.4 s Pallas — VMEM limits cap the Pallas tiles).
+            The kernels remain available and validated (ops/knn_pallas.py).
     """
 
     correspondences: int = 1000
@@ -63,7 +66,7 @@ class IcpConfig:
     gn_iterations: int = 8
     query_tile: int = 2048
     ref_tile: int = 4096
-    use_pallas: bool = True
+    use_pallas: bool = False
     # Normal-estimation kNN via the TPU's hardware-assisted approx_min_k
     # (exact distances, ~0.95-recall candidate set per tile). Off by
     # default: reference parity assumes exact kNN.
