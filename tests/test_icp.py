@@ -158,3 +158,27 @@ def test_degenerate_plane_no_nan(rng):
     # out-of-plane alignment achieved: residual p2plane distances ~ 0
     mask = np.asarray(res.residual_mask)
     assert np.abs(np.asarray(res.residuals)[mask]).max() < 1e-4
+
+
+def test_select_n_gated_matches_reference_formula(rng):
+    """The on-device fixed-count selection (gate path, _select_n) must pick
+    exactly round(linspace(0, n_sel-1, C)) positions among the selected
+    indices, like /root/reference/python/simpleicp/pointcloud.py:141-147."""
+    import jax.numpy as jnp
+
+    from simpleicp_tpu.models.icp import _select_n
+
+    for nf, n_sel, C in [(5000, 3777, 500), (1000, 1000, 1000),
+                         (997, 450, 1000), (64, 64, 16)]:
+        mask = np.zeros(nf, bool)
+        sel = np.sort(rng.choice(nf, size=n_sel, replace=False))
+        mask[sel] = True
+        idx, valid = _select_n(jnp.asarray(mask), C)
+        idx, valid = np.asarray(idx), np.asarray(valid)
+        if n_sel > C:
+            ref = sel[np.round(np.linspace(0, n_sel - 1, C)).astype(int)]
+            assert valid.all()
+            np.testing.assert_array_equal(idx, ref)
+        else:
+            assert valid.sum() == n_sel
+            np.testing.assert_array_equal(np.sort(idx[valid]), sel)

@@ -121,3 +121,31 @@ def test_multihost_helpers_single_process():
 
     idx, cnt = process_info()
     assert idx == 0 and cnt >= 1
+
+
+def test_sharded_user_normals(rng):
+    """User-supplied fixed-cloud normals take the _gather_rows path and must
+    reproduce the serial result (Q11 under sharding)."""
+    X_fix = _surface(rng, 2500)
+    X_mov = X_fix - np.array([0.02, -0.01, 0.015])
+    normals = np.tile(np.array([0.0, 0.0, 1.0]), (2500, 1))
+    # perturb so normals aren't all identical
+    normals[:, 0] = 0.05 * np.sin(X_fix[:, 0])
+    normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+    planarity = np.full(2500, 0.9)
+
+    cfg = IcpConfig(correspondences=200, max_iterations=20)
+    res_se = icp_register(
+        X_fix, X_mov, cfg, normals_fix=normals, planarity_fix=planarity
+    )
+    res_sh = icp_register_sharded(
+        X_fix, X_mov, cfg, mesh=make_mesh(8),
+        normals_fix=normals, planarity_fix=planarity,
+    )
+    assert int(res_sh.error_code) == 0
+    np.testing.assert_allclose(
+        np.asarray(res_sh.H), np.asarray(res_se.H), atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_sh.normals), np.asarray(res_se.normals), atol=1e-12
+    )
