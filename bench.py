@@ -39,16 +39,29 @@ def main():
     # Compile once (the reference baseline numbers exclude startup; ours
     # exclude compilation the same way).
     res = icp_register(X_fix, X_mov, cfg)
-    jax.block_until_ready(res.H)
+    np.asarray(res.H)
     assert int(res.error_code) == 0 and bool(res.converged), "dragon must converge"
 
+    # Timing methodology (CLAUDE.md / BENCHMARKS.md): vary inputs between
+    # repeats (a fresh 1e-7 jitter of the movable cloud per run defeats any
+    # result caching while leaving convergence behavior unchanged) and force a
+    # host readback of H — `block_until_ready` alone can report optimistically
+    # for some programs through the tunnel.
+    rng = np.random.default_rng(0)
+    jitters = [
+        jax.block_until_ready(
+            X_mov + jnp.asarray(rng.uniform(-1e-7, 1e-7, (1, 3)), dtype)
+        )
+        for _ in range(5)
+    ]
     times = []
-    for _ in range(5):
+    for X_mov_i in jitters:
         t0 = time.perf_counter()
-        res = icp_register(X_fix, X_mov, cfg)
-        jax.block_until_ready(res.H)
+        res = icp_register(X_fix, X_mov_i, cfg)
+        np.asarray(res.H)
         times.append(time.perf_counter() - t0)
     value = float(np.median(times))
+    assert int(res.error_code) == 0 and bool(res.converged)
 
     print(
         json.dumps(

@@ -10,9 +10,11 @@ six rigid-body parameters (free / weighted / frozen), a-posteriori parameter
 uncertainties, and the reference's logging + CLI contract.
 
 Design (TPU-first, not a port):
-  * no KD-trees — nearest-neighbor search is a tiled distance kernel that
-    rides the MXU via the ||q-r||^2 = |q|^2+|r|^2-2 q.r matmul trick
-    (Pallas kernel for the hot path, lax fallback everywhere);
+  * no KD-trees — nearest-neighbor search is a tiled exact-distance kernel
+    on the VPU (per-coordinate diffs; the |q|^2+|r|^2-2q.r matmul identity is
+    deliberately NOT used — it loses the argmin to cancellation at
+    coordinate scale and buys nothing on the MXU at K=3), with a grid-hash
+    cell-list engine for huge radius-gated sweeps;
   * no dynamic shapes — rejection uses boolean validity masks with masked
     median/MAD statistics, so the entire ICP iteration loop compiles into a
     single `lax.while_loop` with on-device convergence;

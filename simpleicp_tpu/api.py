@@ -276,6 +276,8 @@ class SimpleICP:
         debug_dirpath: str = "",
         solver: str = "nonlinear",
         mad_scale: float = 1.4826,
+        rejection_staging: str = "python",
+        std_ddof: int = 0,
         center: bool = True,
         approx_knn: bool = False,
         mesh=None,
@@ -283,7 +285,9 @@ class SimpleICP:
     ) -> Tuple[np.ndarray, np.ndarray, RigidBodyParameters, np.ndarray]:
         """Run the registration. Arguments, defaults, validation, output and
         return values follow /root/reference/python/simpleicp/simpleicp.py:75-133;
-        `solver`, `mad_scale` and `center` are TPU-build extensions.
+        `solver`, `mad_scale`, `rejection_staging`, `std_ddof` and `center`
+        are TPU-build extensions (the first four select between the
+        reference-family behaviors — SURVEY.md Q1/Q5/Q8).
 
         center: shift both clouds by the fixed cloud's centroid before the
             device pipeline and map the result back (exact, host-side f64).
@@ -336,6 +340,8 @@ class SimpleICP:
             distance_weights=distance_weights,
             solver=solver,
             mad_scale=mad_scale,
+            rejection_staging=rejection_staging,
+            std_ddof=std_ddof,
             approx_knn=approx_knn,
             record_trajectory=bool(debug_dirpath),
         )
@@ -443,6 +449,7 @@ class SimpleICP:
 
         H = np.array(result.H, dtype=np.float64)  # writable copy
         p_est = np.array(result.p, dtype=np.float64)
+        unc = np.asarray(result.uncertainties, dtype=np.float64)
         if do_center:
             # Map back to the original frame: H = T(c) H' T(-c), i.e. the
             # rotation is unchanged and t = t' + c - R c (exact, f64).
@@ -450,6 +457,23 @@ class SimpleICP:
             H[:3, 3] = H[:3, 3] + c - R_est @ c
             p_est = p_est.copy()
             p_est[3:] = p_est[3:] + c - _host_rotation(*p_est[:3]) @ c
+            # Propagate the a-posteriori covariance through the same map so
+            # reported sigmas are in the ORIGINAL frame: with lever arm |c|
+            # (~1e6 m for UTM clouds) the translation variances pick up
+            # rotation-uncertainty terms, J = [[I, 0], [-d(R c)/dalpha, I]].
+            # The complex-step derivative of the host rotation is exact.
+            Cxx = np.asarray(result.covariance, dtype=np.float64)
+            Jmap = np.eye(6)
+            h = 1e-200
+            for j in range(3):
+                a = p_est[:3].astype(complex)
+                a[j] += 1j * h
+                Jmap[3:, j] = -np.imag(_host_rotation(a[0], a[1], a[2]) @ c) / h
+            C_orig = Jmap @ Cxx @ Jmap.T
+            vary = np.isfinite(obs_w)
+            unc = np.where(
+                vary, np.sqrt(np.maximum(np.diag(C_orig), 0.0)), np.nan
+            )
         n_done = int(result.n_iterations)
         converged = bool(result.converged)
 
@@ -458,9 +482,7 @@ class SimpleICP:
         rbp.set_parameter_attributes_from_list("observed_value", obs_vals)
         rbp.set_parameter_attributes_from_list("observation_weight", obs_w)
         rbp.set_parameter_attributes_from_list("estimated_value", p_est)
-        rbp.set_parameter_attributes_from_list(
-            "estimated_uncertainty", np.asarray(result.uncertainties)
-        )
+        rbp.set_parameter_attributes_from_list("estimated_uncertainty", unc)
 
         # ---- iteration table replay (reference logging contract) ----
         counts = np.asarray(result.iter_counts)

@@ -30,6 +30,35 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-i", "--min_change", type=float, default=1.0)
     p.add_argument("-x", "--max_iterations", type=int, default=100)
     p.add_argument("--solver", choices=["nonlinear", "linearized"], default="nonlinear")
+    p.add_argument(
+        "--preset",
+        choices=["python", "cpp", "rust", "julia", "matlab"],
+        default=None,
+        help="emulate one reference implementation's exact semantics: "
+             "python = nonlinear solver, raw MAD (scale 1.0), planarity-first "
+             "rejection, population std; cpp/rust = linearized solver, "
+             "1.4826 MAD, joint rejection, sample std; julia/matlab = like "
+             "rust but with their min_change=3 default (SURVEY.md "
+             "Q1/Q3/Q5/Q8). A preset fixes --solver and --min_change; "
+             "explicit --mad_scale/--rejection_staging/--std_ddof still "
+             "override.",
+    )
+    p.add_argument(
+        "--mad_scale", type=float, default=None,
+        help="MAD-to-sigma scale of the rejection band (default 1.4826; "
+             "reference Python uses 1.0)",
+    )
+    p.add_argument(
+        "--rejection_staging", choices=["python", "joint"], default=None,
+        help="outlier rejection staging: planarity-first (python) or joint "
+             "(C++/Rust/Julia/MATLAB)",
+    )
+    p.add_argument(
+        "--std_ddof", type=int, choices=[0, 1], default=None,
+        help="ddof of the residual std for logging/convergence "
+             "(0 = population like reference Python, 1 = sample like the "
+             "native family)",
+    )
     p.add_argument("--export", default="", help="write the transformed movable cloud here")
     p.add_argument("--debug_dirpath", default="")
     p.add_argument(
@@ -46,6 +75,17 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+# Per-implementation semantics (SURVEY.md Q1/Q3/Q5/Q8):
+# (solver, min_change, mad_scale, rejection_staging, std_ddof)
+PRESETS = {
+    "python": ("nonlinear", 1.0, 1.0, "python", 0),
+    "cpp": ("linearized", 1.0, 1.4826, "joint", 1),
+    "rust": ("linearized", 1.0, 1.4826, "joint", 1),
+    "julia": ("linearized", 3.0, 1.4826, "joint", 1),
+    "matlab": ("linearized", 3.0, 1.4826, "joint", 1),
+}
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
@@ -57,6 +97,14 @@ def main(argv=None) -> int:
 
     max_overlap = math.inf if args.max_overlap_distance < 0 else args.max_overlap_distance
 
+    solver, min_change = args.solver, args.min_change
+    mad_scale, staging, ddof = args.mad_scale, args.rejection_staging, args.std_ddof
+    if args.preset is not None:
+        solver, min_change, p_mad, p_staging, p_ddof = PRESETS[args.preset]
+        mad_scale = p_mad if mad_scale is None else mad_scale
+        staging = p_staging if staging is None else staging
+        ddof = p_ddof if ddof is None else ddof
+
     icp = SimpleICP(verbose=not args.quiet)
     icp.add_point_clouds(pc_fix, pc_mov)
     _, X_out, _, _ = icp.run(
@@ -64,9 +112,12 @@ def main(argv=None) -> int:
         neighbors=args.neighbors,
         min_planarity=args.min_planarity,
         max_overlap_distance=max_overlap,
-        min_change=args.min_change,
+        min_change=min_change,
         max_iterations=args.max_iterations,
-        solver=args.solver,
+        solver=solver,
+        mad_scale=1.4826 if mad_scale is None else mad_scale,
+        rejection_staging="python" if staging is None else staging,
+        std_ddof=0 if ddof is None else ddof,
         debug_dirpath=args.debug_dirpath,
         approx_knn=args.approx_knn,
         num_devices=args.num_devices,

@@ -64,8 +64,19 @@ class IcpConfig:
     mad_scale: float = 1.4826
     solver: str = "nonlinear"
     gn_iterations: int = 8
+    # Outlier-rejection staging (SURVEY.md Q5): "python" filters planarity
+    # first and computes median/MAD on the survivors (reference Python);
+    # "joint" computes median/MAD on ALL matched distances and applies both
+    # criteria jointly (C++/Rust/Julia/MATLAB family).
+    rejection_staging: str = "python"
+    # ddof of the residual std used for logging + convergence (SURVEY.md
+    # Q8): 0 = population std (reference Python, numpy default); 1 = sample
+    # std (the native family).
+    std_ddof: int = 0
     query_tile: int = 2048
-    ref_tile: int = 4096
+    # ref_tile=0 means "auto": icp_register scales the tile with the
+    # movable-cloud size (4096..65536). An explicit value is always honored.
+    ref_tile: int = 0
     use_pallas: bool = False
     # Normal-estimation kNN via the TPU's hardware-assisted approx_min_k
     # (exact distances, ~0.95-recall candidate set per tile). Off by
@@ -98,6 +109,10 @@ class IcpConfig:
             raise ValueError("distance_weights must be > 0")
         if self.solver not in ("nonlinear", "linearized"):
             raise ValueError("solver must be 'nonlinear' or 'linearized'")
+        if self.rejection_staging not in ("python", "joint"):
+            raise ValueError("rejection_staging must be 'python' or 'joint'")
+        if self.std_ddof not in (0, 1):
+            raise ValueError("std_ddof must be 0 or 1")
         if self.gate_method not in ("auto", "brute", "grid"):
             raise ValueError("gate_method must be 'auto', 'brute' or 'grid'")
 

@@ -94,10 +94,18 @@ class CorrPts:
             self.point_to_plane_distances = self.point_to_plane_distances[keep]
 
     def reject_wrt_planarity(self, min_planarity: float) -> None:
-        """Drop correspondences whose pc1 planarity is below the threshold
-        (/root/reference/python/simpleicp/corrpts.py:139-163)."""
+        """Drop correspondences whose planarity is below the threshold.
+
+        Like the reference, the gate checks BOTH clouds' `planarity` columns,
+        each one only if present, and is a no-op for a cloud without the
+        column (/root/reference/python/simpleicp/corrpts.py:139-163).
+        """
         self._require_matched()
-        self._keep(self.planarity1 >= min_planarity)
+        if "planarity" in self.pc1:
+            self._keep(self.planarity1 >= min_planarity)
+        if "planarity" in self.pc2:
+            pl2 = np.asarray(self.pc2["planarity"])[self.idx_pc2]
+            self._keep(pl2 >= min_planarity)
 
     def reject_wrt_point_to_plane_distances(self, mad_scale: float = 1.4826,
                                             factor: float = 3.0) -> None:

@@ -50,6 +50,8 @@ class IcpResult(NamedTuple):
     H: jnp.ndarray                  # (4,4) final homogeneous transform
     p: jnp.ndarray                  # (6,) alpha1..3 [rad], tx, ty, tz
     uncertainties: jnp.ndarray      # (6,) a-posteriori sigmas (NaN if frozen)
+    covariance: jnp.ndarray         # (6,6) a-posteriori covariance (frozen
+                                    # rows/cols zeroed)
     n_iterations: jnp.ndarray       # scalar int32: executed ICP iterations
     converged: jnp.ndarray          # scalar bool
     error_code: jnp.ndarray         # scalar int32 (ERR_*)
@@ -110,9 +112,25 @@ def _select_n(sel_mask: jnp.ndarray, n: int):
     n_sel = jnp.sum(sel_mask)
     compacted = jnp.nonzero(sel_mask, size=nf, fill_value=0)[0]
     need_subsample = n_sel > n
-    span = jnp.maximum(n_sel - 1, 0).astype(jnp.float32)
-    lin = jnp.round(jnp.linspace(0.0, 1.0, n) * span).astype(jnp.int32)
     seq = jnp.arange(n, dtype=jnp.int32)
+    # round(i * span / (n-1)) computed exactly in int32 (round half-to-even,
+    # like np.round). Float linspace is NOT used: f32 eps * span exceeds 0.5
+    # once n_sel passes ~1e7, deviating from the reference formula. Splitting
+    # span = s_q*(n-1) + s_r keeps every intermediate below n * (n-1) or
+    # n_sel, so plain int32 is exact at any realistic cloud size.
+    span = jnp.maximum(n_sel - 1, 0).astype(jnp.int32)
+    if n > 1:
+        div = jnp.int32(n - 1)
+        s_q = span // div
+        s_r = span % div
+        num_r = seq * s_r                       # < n*(n-1), int32-safe
+        q = seq * s_q + num_r // div            # <= span
+        r = num_r % div
+        lin = q + (2 * r > div).astype(jnp.int32) + (
+            (2 * r == div) & (q % 2 == 1)
+        ).astype(jnp.int32)
+    else:
+        lin = jnp.zeros((n,), jnp.int32)
     pos = jnp.where(need_subsample, lin, jnp.minimum(seq, nf - 1))
     valid = jnp.where(need_subsample, jnp.ones(n, bool), seq < n_sel)
     sel_idx = compacted[jnp.clip(pos, 0, nf - 1)]
@@ -162,15 +180,19 @@ def run_icp_loop(Q, normals, planarity, sel_valid, obs_vals, obs_w,
         m_idx, m_t, m_orig = match_fn(Ht)
         d = jnp.sum((m_t - Q) * normals, axis=1)  # signed p2plane distances
 
-        # Reject: planarity gate first, then median/MAD band on the
-        # survivors (reference Python staging, SURVEY.md Q5). When the
-        # movable cloud carries planarity (user-estimated normals), both
-        # sides gate, like reference corrpts.py:151-163.
+        # Reject (staging per SURVEY.md Q5 / cfg.rejection_staging):
+        #   "python": planarity gate first, median/MAD band computed on the
+        #       survivors (reference Python). When the movable cloud carries
+        #       planarity, both sides gate, like reference corrpts.py:151-163.
+        #   "joint": median/MAD on ALL matched distances, both criteria
+        #       applied jointly (C++/Rust/Julia/MATLAB,
+        #       /root/reference/c++/src/corrpts.cpp:59-89).
         mask_p = sel_valid & (planarity >= min_planarity)
         if mov_planarity_fn is not None:
             mask_p = mask_p & (mov_planarity_fn(m_idx) >= min_planarity)
-        med = masked_median(d, mask_p)
-        sigma = 3.0 * masked_mad(d, mask_p, scale=cfg.mad_scale)
+        mad_base = sel_valid if cfg.rejection_staging == "joint" else mask_p
+        med = masked_median(d, mad_base)
+        sigma = 3.0 * masked_mad(d, mad_base, scale=cfg.mad_scale)
         mask = mask_p & (jnp.abs(d - med) <= sigma)
 
         count = jnp.sum(mask).astype(jnp.int32)
@@ -179,7 +201,9 @@ def run_icp_loop(Q, normals, planarity, sel_valid, obs_vals, obs_w,
         is_first = c.it == 0
         orig_count = jnp.where(is_first, count, c.orig_count)
         orig_mean = jnp.where(is_first, masked_mean(d, mask), c.orig_mean)
-        orig_std = jnp.where(is_first, masked_std(d, mask), c.orig_std)
+        orig_std = jnp.where(
+            is_first, masked_std(d, mask, ddof=cfg.std_ddof), c.orig_std
+        )
 
         if auto_dw:
             # 1/std^2 of the matched distances, estimated once in iteration 0
@@ -204,7 +228,7 @@ def run_icp_loop(Q, normals, planarity, sel_valid, obs_vals, obs_w,
             )
 
         mean = masked_mean(residuals, mask)
-        std = masked_std(residuals, mask)
+        std = masked_std(residuals, mask, ddof=cfg.std_ddof)
         converged = (
             (c.it > 0)
             & crit_met(mean, c.prev_mean)
@@ -271,11 +295,11 @@ def run_icp_loop(Q, normals, planarity, sel_valid, obs_vals, obs_w,
 
     # A-posteriori uncertainties at the optimum on the last iteration's
     # correspondences (/root/reference/python/simpleicp/optimization.py:126-170).
-    uncertainties = estimate_uncertainties(
+    uncertainties, covariance = estimate_uncertainties(
         final.p, gather_fn(final.m_idx), Q, normals, final.residual_mask,
         final.dist_w, obs_vals, obs_w,
     )
-    return final, uncertainties
+    return final, uncertainties, covariance
 
 
 @functools.partial(
@@ -288,7 +312,7 @@ def _icp_run(Xf, Xm, obs_vals, obs_w, normals_fix, planarity_fix,
     dtype = Xf.dtype
     C = cfg.correspondences
     T = cfg.max_iterations
-    qt, rt = cfg.query_tile, cfg.ref_tile
+    qt, rt = cfg.query_tile, (cfg.ref_tile or 4096)
 
     H0 = rbp_to_H(obs_vals)
     error = jnp.int32(ERR_OK)
@@ -360,7 +384,7 @@ def _icp_run(Xf, Xm, obs_vals, obs_w, normals_fix, planarity_fix,
         (lambda m_idx: planarity_mov[m_idx]) if has_mov_planarity else None
     )
 
-    final, uncertainties = run_icp_loop(
+    final, uncertainties, covariance = run_icp_loop(
         Q, normals, planarity, sel_valid, obs_vals, obs_w, cfg, dtype,
         error, H0, match_fn, gather_fn, mov_planarity_fn=mov_planarity_fn,
     )
@@ -369,6 +393,7 @@ def _icp_run(Xf, Xm, obs_vals, obs_w, normals_fix, planarity_fix,
         H=final.H,
         p=final.p,
         uncertainties=uncertainties,
+        covariance=covariance,
         n_iterations=final.it,
         converged=final.converged,
         error_code=final.error,
@@ -437,16 +462,16 @@ def icp_register(
         raise ValueError("point clouds must have shape (n, 3)")
 
     # Auto-scale the reference tile to the movable-cloud size (static,
-    # host-side): the NN sweep is a lax.scan over n_r/ref_tile sequential
+    # host-side; ref_tile=0 is the "auto" sentinel so an explicit 4096 is
+    # honored): the NN sweep is a lax.scan over n_r/ref_tile sequential
     # steps, and per-step overhead dominates once clouds pass ~100k points
     # (measured: dragon 61ms->48.5ms with 16384-tiles; 12.5M 2.83s->1.16s
     # with 65536).
-    if cfg.ref_tile == 4096:
+    if cfg.ref_tile == 0:
         import dataclasses
 
         rt_auto = 1 << max(12, min(16, (Xm.shape[0] // 8).bit_length()))
-        if rt_auto != cfg.ref_tile:
-            cfg = dataclasses.replace(cfg, ref_tile=rt_auto)
+        cfg = dataclasses.replace(cfg, ref_tile=rt_auto)
 
     # Resolve the overlap-gate engine (static choice, host-side). The dense
     # sweep runs at ~1e12 distance-pairs/s on the VPU; the cell list costs

@@ -236,7 +236,11 @@ def estimate_uncertainties(p: jnp.ndarray, xm: jnp.ndarray, xf: jnp.ndarray,
         vPv = sum(P r_unweighted^2)
         s0  = sqrt(vPv / (num_obs - num_prm)),  Cxx = s0^2 N^-1
 
-    Returns (6,) uncertainties with NaN at frozen parameters.
+    Returns (sigma, Cxx): (6,) uncertainties with NaN at frozen parameters,
+    and the (6, 6) a-posteriori covariance with frozen rows/columns zeroed
+    (a frozen parameter has exactly zero variance) — the full matrix is
+    needed by the API layer to propagate uncertainties through the optional
+    centering frame map.
     """
     dtype = xm.dtype
     f64 = jnp.float64 if jax.config.jax_enable_x64 else dtype
@@ -269,7 +273,8 @@ def estimate_uncertainties(p: jnp.ndarray, xm: jnp.ndarray, xf: jnp.ndarray,
     num_prm = jnp.sum(vary)
     s0_sq = vPv / jnp.maximum(num_obs - num_prm, 1)
     sigma = jnp.sqrt(s0_sq * jnp.diagonal(Qxx)).astype(dtype)
-    return jnp.where(vary, sigma, jnp.nan)
+    Cxx = (s0_sq * Qxx * vary_f[:, None] * vary_f[None, :]).astype(dtype)
+    return jnp.where(vary, sigma, jnp.nan), Cxx
 
 
 # ---------------------------------------------------------------------------

@@ -60,6 +60,31 @@ def _pad_to(X: np.ndarray, n_total: int, fill=0.0):
     return np.concatenate([X, pad], axis=0)
 
 
+def _put_sharded(arr: np.ndarray, sharding: NamedSharding) -> jax.Array:
+    """Place a host array onto the mesh.
+
+    Single-process: plain `device_put`. Multi-process (multi-host pod): every
+    process holds the same full host array; slice out this process's rows
+    and assemble the global array with
+    `jax.make_array_from_process_local_data`, so each host only transfers
+    its own shard to its own devices (the SURVEY §5 host-local loading
+    path). Replicated (rank-0-spec) arrays always go through `device_put`.
+    """
+    if jax.process_count() == 1 or not sharding.spec or sharding.spec[0] is None:
+        return jax.device_put(arr, sharding)
+    # Contiguous row block owned by this process: mesh devices are laid out
+    # process-major (jax.devices() order), and the sharded axis is axis 0.
+    mesh_devs = list(sharding.mesh.devices.flat)
+    ndev = len(mesh_devs)
+    rows_per_dev = arr.shape[0] // ndev
+    mine = [i for i, d in enumerate(mesh_devs)
+            if d.process_index == jax.process_index()]
+    lo, hi = mine[0] * rows_per_dev, (mine[-1] + 1) * rows_per_dev
+    return jax.make_array_from_process_local_data(
+        sharding, np.ascontiguousarray(arr[lo:hi]), arr.shape
+    )
+
+
 # --------------------------------------------------------------------------
 # collective building blocks (run inside shard_map; `axis` is the mesh axis)
 # --------------------------------------------------------------------------
@@ -242,7 +267,7 @@ def _icp_run_sharded(Xf, f_valid, Xm, m_valid, obs_vals, obs_w,
                      has_mov_planarity: bool,
                      mesh: jax.sharding.Mesh, ndev: int) -> IcpResult:
     axis = mesh.axis_names[0]
-    qt, rt = cfg.query_tile, cfg.ref_tile
+    qt, rt = cfg.query_tile, (cfg.ref_tile or 4096)
     C = cfg.correspondences
 
     def spmd(Xf_l, fv_l, Xm_l, mv_l, obs_vals, obs_w, nrm_l, pla_l, pmov_l):
@@ -307,7 +332,7 @@ def _icp_run_sharded(Xf, f_valid, Xm, m_valid, obs_vals, obs_w,
             if has_mov_planarity else None
         )
 
-        final, uncertainties = run_icp_loop(
+        final, uncertainties, covariance = run_icp_loop(
             Q, normals, planarity, sel_valid, obs_vals, obs_w, cfg, dtype,
             error, H0, match_fn, gather_fn,
             mov_planarity_fn=mov_planarity_fn,
@@ -317,6 +342,7 @@ def _icp_run_sharded(Xf, f_valid, Xm, m_valid, obs_vals, obs_w,
             H=final.H,
             p=final.p,
             uncertainties=uncertainties,
+            covariance=covariance,
             n_iterations=final.it,
             converged=final.converged,
             error_code=final.error,
@@ -343,7 +369,8 @@ def _icp_run_sharded(Xf, f_valid, Xm, m_valid, obs_vals, obs_w,
     sharded2d = P(axis, None)
     rep = P()
     out_specs = IcpResult(
-        H=rep, p=rep, uncertainties=rep, n_iterations=rep, converged=rep,
+        H=rep, p=rep, uncertainties=rep, covariance=rep, n_iterations=rep,
+        converged=rep,
         error_code=rep, iter_counts=rep, iter_means=rep, iter_stds=rep,
         orig_count=rep, orig_mean=rep, orig_std=rep, residuals=rep,
         residual_mask=rep, distance_weight=rep, sel_idx=rep, sel_valid=rep,
@@ -389,13 +416,12 @@ def icp_register_sharded(
     # Same NN ref-tile auto-scaling as the single-chip driver, but against
     # the per-shard movable block size (the scan per device runs over its
     # local rows only).
-    if cfg.ref_tile == 4096:
+    if cfg.ref_tile == 0:
         import dataclasses
 
         local_rows = -(-np.asarray(X_mov).shape[0] // ndev)
         rt_auto = 1 << max(12, min(16, (local_rows // 8).bit_length()))
-        if rt_auto != cfg.ref_tile:
-            cfg = dataclasses.replace(cfg, ref_tile=rt_auto)
+        cfg = dataclasses.replace(cfg, ref_tile=rt_auto)
 
     # Overlap-gate engine resolution, mirroring models.icp.icp_register:
     # dense ring below ~1e12 pairs, traveling sorted cell lists beyond.
@@ -473,15 +499,15 @@ def icp_register_sharded(
     shard2 = NamedSharding(mesh, P(axis, None))
     rep = NamedSharding(mesh, P())
     args = (
-        jax.device_put(Xf, shard2),
-        jax.device_put(f_valid, shard1),
-        jax.device_put(Xm, shard2),
-        jax.device_put(m_valid, shard1),
+        _put_sharded(Xf, shard2),
+        _put_sharded(f_valid, shard1),
+        _put_sharded(Xm, shard2),
+        _put_sharded(m_valid, shard1),
         jax.device_put(jnp.asarray(obs_vals), rep),
         jax.device_put(jnp.asarray(obs_w), rep),
-        jax.device_put(nrm, shard2),
-        jax.device_put(pla, shard1),
-        jax.device_put(pmov, shard1),
+        _put_sharded(nrm, shard2),
+        _put_sharded(pla, shard1),
+        _put_sharded(pmov, shard1),
     )
     return _icp_run_sharded(
         *args, cfg=cfg, has_normals=has_normals,

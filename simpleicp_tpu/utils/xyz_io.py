@@ -7,8 +7,10 @@ one `x y z` triple per line, whitespace separated, exactly three columns
 header of the reference Python (`//X Y Z`,
 /root/reference/python/simpleicp/pointcloud.py:219-226).
 
-Parsing uses pandas' C reader (vectorized, ~10x faster than np.loadtxt); the
-optional native C++ parser (simpleicp_tpu.native) is used when built.
+Parser tiers, fastest first: the native C++ parser (simpleicp_tpu.native)
+when built, pandas' C reader (vectorized, ~10x faster than np.loadtxt) when
+installed, numpy loadtxt otherwise — so a wheel with no compiler and no
+pandas still reads xyz files.
 """
 
 from __future__ import annotations
@@ -39,7 +41,22 @@ def read_xyz(path: Union[str, Path], dtype=np.float64) -> np.ndarray:
         return read_xyz_native(path, dtype=dtype)
     except ImportError:
         pass
-    import pandas as pd
+    try:
+        import pandas as pd
+    except ImportError:
+        # numpy-only last resort (slow but dependency-free): a minimal wheel
+        # install with neither a C++ toolchain nor pandas can still read xyz.
+        try:
+            arr = np.loadtxt(path, comments="//", ndmin=2, dtype=np.float64)
+        except ValueError as e:
+            raise XyzIOError(f"failed to parse {path}: {e}") from e
+        if arr.size == 0:
+            arr = arr.reshape(0, 3)
+        if arr.shape[1] != 3:
+            raise XyzIOError(
+                f"{path}: expected exactly 3 columns per line, found {arr.shape[1]}"
+            )
+        return np.ascontiguousarray(arr, dtype=dtype)
 
     try:
         df = pd.read_csv(

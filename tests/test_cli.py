@@ -30,6 +30,20 @@ def test_flag_names_match_reference_contract():
     assert (d.max_overlap_distance, d.min_change, d.max_iterations) == (-1.0, 1.0, 100)
 
 
+def test_preset_flags_resolve():
+    """--preset maps to the per-implementation semantics table; explicit
+    quirk flags still override."""
+    from simpleicp_tpu.cli import PRESETS
+
+    assert PRESETS["python"] == ("nonlinear", 1.0, 1.0, "python", 0)
+    assert PRESETS["rust"] == ("linearized", 1.0, 1.4826, "joint", 1)
+    assert PRESETS["julia"][1] == 3.0  # SURVEY.md Q3
+    p = build_parser()
+    a = p.parse_args(["-f", "a", "-m", "b", "--preset", "julia",
+                      "--std_ddof", "0"])
+    assert a.preset == "julia" and a.std_ddof == 0
+
+
 def test_cli_end_to_end_with_export(tmp_path):
     out = tmp_path / "out.xyz"
     rc = main([

@@ -182,3 +182,27 @@ def test_select_n_gated_matches_reference_formula(rng):
         else:
             assert valid.sum() == n_sel
             np.testing.assert_array_equal(np.sort(idx[valid]), sel)
+
+
+def test_select_n_gated_matches_reference_formula_at_scale():
+    """At n_sel >= 2e7 an f32 linspace would deviate from the reference
+    round(linspace) formula (f32 eps * span > 0.5); the integer-exact
+    _select_n must not. Covers several (span, C) shapes incl. even divisors
+    where round-half-to-even ties can occur."""
+    import jax.numpy as jnp
+
+    from simpleicp_tpu.models.icp import _select_n
+
+    for n_sel, C in [
+        (27_654_321, 1000),
+        (20_000_001, 1000),
+        (33_554_432, 497),   # even divisor (C-1=496): exercises tie handling
+        (19_999_999, 1024),
+    ]:
+        nf = n_sel + 11
+        mask = np.zeros(nf, bool)
+        mask[:n_sel] = True  # contiguous prefix: selected index == position
+        idx, valid = _select_n(jnp.asarray(mask), C)
+        ref = np.round(np.linspace(0, n_sel - 1, C)).astype(np.int64)
+        assert np.asarray(valid).all()
+        np.testing.assert_array_equal(np.asarray(idx, np.int64), ref)
