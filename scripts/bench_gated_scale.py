@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""GATED large-scale registration benchmark — the round-1 failure case.
+
+Round 1: the hash-grid gate's 27 x cap per-query gathers made a
+12.5M-query gated program run ~7 minutes of pure gather time, and the
+runtime watchdog killed the worker (BENCHMARKS.md "Grid gate at scale").
+Round 2: gate_method auto now routes huge gated runs through the
+dilated-occupancy gate (ops/dilate_gate.py — scatter + vectorized rolls +
+one gather per query + exact band resolution on a small subset).
+
+Usage: python scripts/bench_gated_scale.py [--sizes 1.34e6,12.5e6] [--radius 1.0]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DATA = "/root/reference/data"
+
+
+def tile_cloud(X, n_target: int, spacing: float):
+    import jax.numpy as jnp
+
+    n = X.shape[0]
+    times = -(-n_target // n)
+    k = math.ceil(times ** (1.0 / 3.0))
+    ii = jnp.arange(k * k * k, dtype=X.dtype)[:times]
+    off = jnp.stack([ii % k, (ii // k) % k, ii // (k * k)], axis=1) * spacing
+    tiled = (X[None, :, :] + off[:, None, :]).reshape(-1, 3)
+    return tiled[:n_target]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="1.34e6,12.5e6")
+    ap.add_argument("--radius", type=float, default=1.0)
+    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from simpleicp_tpu import IcpConfig, icp_register
+    from simpleicp_tpu.utils.xyz_io import read_xyz
+
+    X_fix0 = jnp.asarray(read_xyz(f"{DATA}/dragon1.xyz"), jnp.float32)
+    X_mov0 = jnp.asarray(read_xyz(f"{DATA}/dragon2.xyz"), jnp.float32)
+    extent = float(jnp.max(X_fix0[:, 0]) - jnp.min(X_fix0[:, 0]))
+    spacing = extent * 1.05
+
+    rows = []
+    for size_s in args.sizes.split(","):
+        n = int(float(size_s))
+        Xf = tile_cloud(X_fix0, n, spacing)
+        Xm = tile_cloud(X_mov0, n, spacing)
+        jax.block_until_ready((Xf, Xm))
+        cfg = IcpConfig(max_overlap_distance=args.radius)
+
+        t0 = time.perf_counter()
+        res = icp_register(Xf, Xm, cfg)
+        H = np.asarray(res.H)
+        first = time.perf_counter() - t0
+        assert int(res.error_code) == 0, f"error {int(res.error_code)} at n={n}"
+
+        times = []
+        for i in range(args.repeats):
+            Xm_i = Xm + jnp.float32(1e-7 * (i + 1))
+            jax.block_until_ready(Xm_i)
+            t0 = time.perf_counter()
+            H = np.asarray(icp_register(Xf, Xm_i, cfg).H)
+            times.append(time.perf_counter() - t0)
+        t = float(np.median(times))
+        rows.append({
+            "n_points_per_cloud": n,
+            "pairs": float(n) * n,
+            "gated_seconds": round(t, 4),
+            "first_run_seconds_incl_compile": round(first, 2),
+            "iterations": int(res.n_iterations),
+            "converged": bool(res.converged),
+            "n_selected": int(np.asarray(res.sel_valid).sum()),
+        })
+        print(json.dumps(rows[-1]), flush=True)
+
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(rows, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -88,9 +88,12 @@ class IcpConfig:
     # while_loop carry. The class API turns it on when debug_dirpath is set.
     record_trajectory: bool = False
     # Overlap-gate engine: "brute" = tiled dense distance sweep (exact,
-    # O(nf*nm)); "grid" = spatial-hash cell list (ops/gridhash.py, exact for
-    # the within-radius question, O(27*cell_cap) per query — required at the
-    # 50M-point scale); "auto" lets icp_register choose by problem size.
+    # O(nf*nm), wins below ~1e12 pairs); "dilate" = dilated-occupancy gate
+    # (ops/dilate_gate.py — gather-free existence test over a dense cell
+    # grid with exact band resolution; the scale engine whenever the joint
+    # bounding box fits the cell budget); "grid" = spatial-hash cell list
+    # (ops/gridhash.py, exact, O(27*cell_cap) gathers per query — fallback
+    # for extreme volumetric extents); "auto" picks by size and fit.
     gate_method: str = "auto"
     # Static max hash-slot occupancy for the grid gate; 0 = computed
     # host-side by icp_register via ops.gridhash.grid_cell_cap.
@@ -113,8 +116,10 @@ class IcpConfig:
             raise ValueError("rejection_staging must be 'python' or 'joint'")
         if self.std_ddof not in (0, 1):
             raise ValueError("std_ddof must be 0 or 1")
-        if self.gate_method not in ("auto", "brute", "grid"):
-            raise ValueError("gate_method must be 'auto', 'brute' or 'grid'")
+        if self.gate_method not in ("auto", "brute", "grid", "dilate"):
+            raise ValueError(
+                "gate_method must be 'auto', 'brute', 'grid' or 'dilate'"
+            )
 
     @property
     def overlap_enabled(self) -> bool:

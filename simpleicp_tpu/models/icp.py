@@ -303,12 +303,14 @@ def run_icp_loop(Q, normals, planarity, sel_valid, obs_vals, obs_w,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "has_normals", "has_mov_planarity")
+    jax.jit,
+    static_argnames=("cfg", "has_normals", "has_mov_planarity", "has_ext_sel"),
 )
 def _icp_run(Xf, Xm, obs_vals, obs_w, normals_fix, planarity_fix,
-             planarity_mov,
+             planarity_mov, ext_sel_mask,
              *, cfg: IcpConfig, has_normals: bool,
-             has_mov_planarity: bool = False) -> IcpResult:
+             has_mov_planarity: bool = False,
+             has_ext_sel: bool = False) -> IcpResult:
     dtype = Xf.dtype
     C = cfg.correspondences
     T = cfg.max_iterations
@@ -319,20 +321,25 @@ def _icp_run(Xf, Xm, obs_vals, obs_w, normals_fix, planarity_fix,
 
     # ---- Stage 2: overlap gate (static branch — cfg is trace-time) ----
     if cfg.overlap_enabled:
-        Xm0 = apply_H(Xm, H0)
-        if cfg.gate_method == "grid":
-            from ..ops.gridhash import min_dist_sq_grid
-
-            d2 = min_dist_sq_grid(
-                Xf, Xm0, cfg.max_overlap_distance,
-                cell_cap=max(cfg.grid_cell_cap, 1),
-            )
+        if has_ext_sel:
+            # Mask precomputed by the dilated-occupancy gate prologue
+            # (ops/dilate_gate.py) — exact, gather-free at scale.
+            sel_mask = ext_sel_mask
         else:
-            d2, _ = nn_search_auto(
-                Xf, Xm0, ref_tile=rt, query_tile=qt,
-                use_pallas=cfg.use_pallas,
-            )
-        sel_mask = d2 <= jnp.asarray(cfg.max_overlap_distance, dtype) ** 2
+            Xm0 = apply_H(Xm, H0)
+            if cfg.gate_method == "grid":
+                from ..ops.gridhash import min_dist_sq_grid
+
+                d2 = min_dist_sq_grid(
+                    Xf, Xm0, cfg.max_overlap_distance,
+                    cell_cap=max(cfg.grid_cell_cap, 1),
+                )
+            else:
+                d2, _ = nn_search_auto(
+                    Xf, Xm0, ref_tile=rt, query_tile=qt,
+                    use_pallas=cfg.use_pallas,
+                )
+            sel_mask = d2 <= jnp.asarray(cfg.max_overlap_distance, dtype) ** 2
         error = jnp.where(jnp.any(sel_mask), error, jnp.int32(ERR_NO_OVERLAP))
         # keep the device program well-defined even when empty:
         sel_mask = jnp.where(jnp.any(sel_mask), sel_mask, jnp.ones_like(sel_mask))
@@ -474,31 +481,73 @@ def icp_register(
         cfg = dataclasses.replace(cfg, ref_tile=rt_auto)
 
     # Resolve the overlap-gate engine (static choice, host-side). The dense
-    # sweep runs at ~1e12 distance-pairs/s on the VPU; the cell list costs
-    # ~27*cell_cap random gathers per query, and TPU gathers are slow enough
-    # (measured: bunny grid 427ms vs brute 47ms) that brute wins until the
-    # pair count is ~1e12. Past that the cell list's O(queries) scaling is
-    # mandatory — at the 50M x 50M BASELINE scale brute would be 2.5e15 pairs.
+    # sweep runs at ~1e12 distance-pairs/s on the VPU, so brute wins below
+    # ~1e12 pairs (TPU random gathers are slow: bunny grid 427ms vs brute
+    # 47ms). Past that the gather-free dilated-occupancy gate
+    # (ops/dilate_gate.py) takes over whenever a dense cell grid fits;
+    # the hash-grid cell list remains the fallback for extreme volumetric
+    # extents (its O(27*cap) per-query gathers are the slow path —
+    # measured ~8-10 ns per gathered element).
+    ext_sel_mask = None
     if cfg.overlap_enabled:
+        from ..ops.transform import rbp_to_H as _rbp_to_H
+
+        obs_host = (jnp.zeros(6, dtype) if rbp_observed_values is None
+                    else jnp.asarray(rbp_observed_values, dtype))
+        H0_dev = _rbp_to_H(obs_host)
+
         resolved = cfg.gate_method
-        if resolved == "auto":
-            resolved = "grid" if Xf.shape[0] * Xm.shape[0] > 2**41 else "brute"
+        plan = None
+        if resolved in ("auto", "dilate"):
+            from ..ops.dilate_gate import bbox_of, plan_dilate_gate
+
+            want = resolved == "dilate" or (
+                Xf.shape[0] * Xm.shape[0] > 2**40
+            )
+            if want:
+                # bbox on device: planning never fetches full clouds
+                lo, hi = bbox_of(Xf, Xm, H0_dev)
+                plan = plan_dilate_gate(
+                    None, None, cfg.max_overlap_distance,
+                    bbox=(np.asarray(lo), np.asarray(hi)),
+                )
+            if resolved == "dilate" and plan is None:
+                raise ValueError(
+                    "gate_method='dilate' needs a dense cell grid over the "
+                    "joint bounding box; this cloud pair exceeds the cell "
+                    "budget — use 'grid' or 'auto'."
+                )
+            if plan is not None:
+                resolved = "dilate"
+            elif resolved == "auto":
+                resolved = (
+                    "grid" if Xf.shape[0] * Xm.shape[0] > 2**41 else "brute"
+                )
         cap = cfg.grid_cell_cap
         if resolved == "grid" and cap == 0:
             from ..models.solver import RigidBodyParameters
             from ..ops.gridhash import grid_cell_cap
 
-            # cap depends on the gate-time (initial-transformed) movable
-            # cloud; obs_vals are host values, so transform with numpy.
+            # gate-time (initial-transformed) movable cloud, host-side
             Xm_np = np.asarray(X_mov, np.float64)
-            if rbp_observed_values is not None and np.any(rbp_observed_values):
+            if rbp_observed_values is not None and np.any(
+                np.asarray(rbp_observed_values)
+            ):
                 rbp = RigidBodyParameters()
                 rbp.set_parameter_attributes_from_list(
                     "estimated_value", np.asarray(rbp_observed_values)
                 )
-                H0 = rbp.H
-                Xm_np = Xm_np @ H0[:3, :3].T + H0[:3, 3]
+                H0_np = rbp.H
+                Xm_np = Xm_np @ H0_np[:3, :3].T + H0_np[:3, 3]
             cap = grid_cell_cap(Xm_np, cfg.max_overlap_distance)
+        if resolved == "dilate":
+            from ..ops.dilate_gate import overlap_mask_dilate
+
+            ext_sel_mask = jnp.asarray(
+                overlap_mask_dilate(
+                    Xf, Xm, H0_dev, cfg.max_overlap_distance, plan,
+                )
+            )
         if (resolved, cap) != (cfg.gate_method, cfg.grid_cell_cap):
             import dataclasses
 
@@ -526,11 +575,15 @@ def icp_register(
         else jnp.zeros((1,), dtype)
     )
 
+    has_ext_sel = ext_sel_mask is not None
+    if not has_ext_sel:
+        ext_sel_mask = jnp.zeros((1,), bool)
     return _icp_run(
         Xf, Xm, obs_vals, obs_w, normals_arr, planarity_arr,
-        planarity_mov_arr,
+        planarity_mov_arr, ext_sel_mask,
         cfg=cfg, has_normals=has_normals,
         has_mov_planarity=has_mov_planarity,
+        has_ext_sel=has_ext_sel,
     )
 
 
@@ -563,8 +616,10 @@ def icp_register_batch(
     Returns:
         IcpResult with a leading batch axis on every field.
     """
-    if cfg.overlap_enabled and cfg.gate_method == "grid":
-        raise ValueError("gate_method='grid' is not supported in batch mode")
+    if cfg.overlap_enabled and cfg.gate_method in ("grid", "dilate"):
+        raise ValueError(
+            f"gate_method={cfg.gate_method!r} is not supported in batch mode"
+        )
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     Xf = jnp.asarray(X_fix, dtype)
@@ -595,7 +650,11 @@ def icp_register_batch(
 
     dummy_n = jnp.zeros((B, 1, 3), dtype)
     dummy_p = jnp.zeros((B, 1), dtype)
+    dummy_sel = jnp.zeros((B, 1), bool)
     run = functools.partial(
-        _icp_run, cfg=cfg, has_normals=False, has_mov_planarity=False
+        _icp_run, cfg=cfg, has_normals=False, has_mov_planarity=False,
+        has_ext_sel=False,
     )
-    return jax.vmap(run)(Xf, Xm, obs_vals, obs_w, dummy_n, dummy_p, dummy_p)
+    return jax.vmap(run)(
+        Xf, Xm, obs_vals, obs_w, dummy_n, dummy_p, dummy_p, dummy_sel
+    )

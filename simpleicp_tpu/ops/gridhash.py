@@ -55,19 +55,35 @@ def _slot_of(cells):
 
 def grid_cell_cap(refs: np.ndarray, radius: float) -> int:
     """Host-side: maximum occupancy of any hash slot for this cloud/radius —
-    the static per-cell candidate bound the jitted kernel needs. One numpy
-    pass; exact (collisions counted), so the device scan never misses."""
-    refs = np.asarray(refs)
-    origin = refs.min(axis=0)
-    cells = np.floor((refs - origin) / float(radius)).astype(np.int64)
-    h = (
-        cells[:, 0] * _PX ^ cells[:, 1] * _PY ^ cells[:, 2] * _PZ
-    ).astype(np.int64) & (_HASH_SIZE - 1)
-    _, counts = np.unique(h, return_counts=True)
-    return int(counts.max()) if counts.size else 1
+    the static per-cell candidate bound the jitted kernel needs.
+
+    The device bins in its own dtype via (refs - origin) * (1/radius)
+    (`_cell_of`); points on cell boundaries can bin differently between
+    host and device arithmetic, so the occupancy is counted under BOTH f32
+    and f64 device-matching arithmetic (max taken) and a small additive
+    slack absorbs any residual boundary flips (e.g. when the device cloud
+    went through an f32 initial-transform the host reproduced in f64). An
+    over-estimate only costs scan time; an under-estimate would silently
+    truncate candidates."""
+    refs64 = np.asarray(refs, np.float64)
+    if refs64.shape[0] == 0:
+        return 1
+    cap = 0
+    for dt in (np.float32, np.float64):
+        r = refs64.astype(dt)
+        origin = r.min(axis=0)
+        inv = dt(1.0) / dt(radius)
+        cells = np.floor((r - origin) * inv).astype(np.int64)
+        h = (
+            cells[:, 0] * _PX ^ cells[:, 1] * _PY ^ cells[:, 2] * _PZ
+        ).astype(np.int64) & (_HASH_SIZE - 1)
+        _, counts = np.unique(h, return_counts=True)
+        cap = max(cap, int(counts.max()))
+    return cap + 4
 
 
-def build_sorted_grid(refs: jnp.ndarray, radius, valid: jnp.ndarray | None = None):
+def build_sorted_grid(refs: jnp.ndarray, radius, valid: jnp.ndarray | None = None,
+                      origin: jnp.ndarray | None = None):
     """Sort references by hash slot for binary-search cell lookup.
 
     Invalid rows get slot _HASH_SIZE (beyond every query slot, sorted last,
@@ -77,14 +93,23 @@ def build_sorted_grid(refs: jnp.ndarray, radius, valid: jnp.ndarray | None = Non
     second binary search (side="right") with a single gather. The structure
     is position-independent — it can be shipped to another device (ring
     pass) as long as `origin` travels with it.
+
+    `origin` pins the cell lattice explicitly. The sharded ring gate MUST
+    pass a global origin (pmin over shards): per-shard local origins shift
+    the lattice, a shard cell can then straddle up to 8 full-cloud cells,
+    and a full-cloud `grid_cell_cap` would no longer bound per-shard slot
+    occupancy (silent candidate truncation). With one shared origin each
+    shard's cells are subsets of the full cloud's, so the full-cloud cap is
+    a valid bound.
     """
     dtype = refs.dtype
     radius = jnp.asarray(radius, dtype)
-    if valid is not None:
-        big = jnp.asarray(1e30, dtype)
-        origin = jnp.min(jnp.where(valid[:, None], refs, big), axis=0)
-    else:
-        origin = jnp.min(refs, axis=0)
+    if origin is None:
+        if valid is not None:
+            big = jnp.asarray(1e30, dtype)
+            origin = jnp.min(jnp.where(valid[:, None], refs, big), axis=0)
+        else:
+            origin = jnp.min(refs, axis=0)
     slots = _slot_of(_cell_of(refs, origin, 1.0 / radius))
     if valid is not None:
         slots = jnp.where(valid, slots, jnp.int32(_HASH_SIZE))

@@ -147,31 +147,37 @@ def _ring_min_dist2_grid(Qf_local, f_valid, Xm_local, m_valid, radius,
     device sorts its movable block into a cell list ONCE, then the sorted
     structure (points, slots, origin) travels the ring, so every ring step
     is an O(27*cell_cap)-per-query lookup instead of an O(rows) sweep.
-    `cell_cap` must bound the max slot occupancy of every shard (a cap
-    computed on the full cloud is a valid upper bound)."""
+    All shards bin on ONE global lattice (origin = pmin of the per-shard
+    valid minima), so each shard's slot occupancy is bounded by the
+    full-cloud occupancy and a full-cloud `grid_cell_cap` is a provably
+    valid `cell_cap` — per-shard local origins would shift the lattice and
+    break that bound (a shard cell could straddle up to 8 full-cloud
+    cells), silently truncating candidates."""
     from ..ops.gridhash import build_sorted_grid, grid_query_sorted
 
     perm = [(i, (i + 1) % ndev) for i in range(ndev)]
-    sorted_pts, sorted_slots, _, origin, run_end = build_sorted_grid(
-        Xm_local, radius, valid=m_valid
+    big = jnp.asarray(1e30, Xm_local.dtype)
+    local_min = jnp.min(jnp.where(m_valid[:, None], Xm_local, big), axis=0)
+    origin = lax.pmin(local_min, axis)
+    sorted_pts, sorted_slots, _, _, run_end = build_sorted_grid(
+        Xm_local, radius, valid=m_valid, origin=origin
     )
 
     def step(s, carry):
-        best, pts, slots, org, rend = carry
+        best, pts, slots, rend = carry
         d2, _ = grid_query_sorted(
-            Qf_local, pts, slots, org, radius, cell_cap=cell_cap,
+            Qf_local, pts, slots, origin, radius, cell_cap=cell_cap,
             run_end=rend,
         )
         best = jnp.minimum(best, d2)
         pts = lax.ppermute(pts, axis, perm)
         slots = lax.ppermute(slots, axis, perm)
-        org = lax.ppermute(org, axis, perm)
         rend = lax.ppermute(rend, axis, perm)
-        return best, pts, slots, org, rend
+        return best, pts, slots, rend
 
     best0 = jnp.full((Qf_local.shape[0],), jnp.inf, Qf_local.dtype)
-    best, _, _, _, _ = lax.fori_loop(
-        0, ndev, step, (best0, sorted_pts, sorted_slots, origin, run_end)
+    best, _, _, _ = lax.fori_loop(
+        0, ndev, step, (best0, sorted_pts, sorted_slots, run_end)
     )
     return jnp.where(f_valid, best, jnp.inf)
 

@@ -1,0 +1,162 @@
+"""Dilated-occupancy gate: exact agreement with the brute-force mask.
+
+The gate's contract is bit-exactness of `min_dist(q, refs) <= radius` —
+the dilation stencils only PROVE membership (IN) or non-membership
+(not-POSS); everything uncertain is resolved with real distance checks.
+These tests drive the full pipeline (plan -> classify -> band resolve)
+against the dense sweep on adversarial geometries: points ON cell
+boundaries, distances straddling the radius, degenerate planes, empty
+bands, huge bands.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from simpleicp_tpu.ops.dilate_gate import (
+    classify_queries,
+    overlap_mask_dilate,
+    plan_dilate_gate,
+)
+from simpleicp_tpu.ops.knn import min_dist_sq
+
+
+def _brute_mask(Xf, Xm0, r):
+    d2 = np.asarray(min_dist_sq(jnp.asarray(Xf), jnp.asarray(Xm0)))
+    return d2 <= r * r
+
+
+def _dilate_mask(Xf, Xm, r, H0=None):
+    if H0 is None:
+        H0 = np.eye(4)
+    plan = plan_dilate_gate(
+        Xf, Xm @ H0[:3, :3].T + H0[:3, 3], r
+    )
+    assert plan is not None
+    return overlap_mask_dilate(
+        jnp.asarray(Xf), jnp.asarray(Xm), jnp.asarray(H0), r, plan
+    )
+
+
+@pytest.mark.parametrize("r", [0.05, 0.13, 0.5])
+def test_random_clouds_match_brute(rng, r):
+    Xf = rng.uniform(-1, 1, size=(4000, 3))
+    Xm = rng.uniform(-1, 1, size=(3000, 3)) + np.array([0.4, 0.0, 0.0])
+    np.testing.assert_array_equal(
+        _dilate_mask(Xf, Xm, r), _brute_mask(Xf, Xm, r)
+    )
+
+
+def test_boundary_distances_exact(rng):
+    """Queries placed EXACTLY at radius +/- tiny from a ref: the band must
+    resolve them with true distances."""
+    r = 0.25
+    # sparse refs (separation >> 2r) so each query interacts with exactly
+    # one ref and the inside/outside classes are unambiguous
+    g = np.arange(5) * 2.0
+    Xm = np.stack(np.meshgrid(g, g, g), axis=-1).reshape(-1, 3)
+    eps = 1e-9
+    inside = Xm[:50] + np.array([r - eps, 0, 0])
+    outside = Xm[50:100] + np.array([r + 1e-6, 0, 0])
+    Xf = np.concatenate([inside, outside])
+    mask = _dilate_mask(Xf, Xm, r)
+    ref = _brute_mask(Xf, Xm, r)
+    np.testing.assert_array_equal(mask, ref)
+    assert ref[:50].all() and not ref[50:].any()
+
+
+def test_grid_aligned_points(rng):
+    """Quantized coordinates sit exactly on cell boundaries — the margins
+    must route any ambiguity into the band, never into a wrong answer."""
+    r = 0.2
+    Xm = np.round(rng.uniform(-1, 1, size=(2000, 3)) * 10) / 10
+    Xf = np.round(rng.uniform(-1, 1, size=(2000, 3)) * 10) / 10
+    np.testing.assert_array_equal(
+        _dilate_mask(Xf, Xm, r), _brute_mask(Xf, Xm, r)
+    )
+
+
+def test_planar_degenerate(rng):
+    r = 0.1
+    xy = rng.uniform(-1, 1, size=(1500, 2))
+    Xf = np.column_stack([xy, np.zeros(1500)])
+    Xm = np.column_stack([xy[:1000] + 0.03, np.full(1000, 0.05)])
+    np.testing.assert_array_equal(
+        _dilate_mask(Xf, Xm, r), _brute_mask(Xf, Xm, r)
+    )
+
+
+def test_disjoint_clouds_all_false(rng):
+    r = 0.1
+    Xf = rng.uniform(0, 1, size=(500, 3))
+    Xm = rng.uniform(5, 6, size=(500, 3))
+    assert not _dilate_mask(Xf, Xm, r).any()
+
+
+def test_coincident_clouds_all_true(rng):
+    r = 0.1
+    Xf = rng.uniform(0, 1, size=(500, 3))
+    np.testing.assert_array_equal(
+        _dilate_mask(Xf, Xf.copy(), r), np.ones(500, bool)
+    )
+
+
+def test_initial_transform_applied(rng):
+    """The gate must bin the movable cloud AFTER H0 (Q10)."""
+    r = 0.15
+    Xf = rng.uniform(-1, 1, size=(1000, 3))
+    a = 0.3
+    H0 = np.eye(4)
+    H0[:3, :3] = [
+        [np.cos(a), -np.sin(a), 0],
+        [np.sin(a), np.cos(a), 0],
+        [0, 0, 1.0],
+    ]
+    H0[:3, 3] = [0.2, -0.1, 0.05]
+    Xm = rng.uniform(-1, 1, size=(1000, 3))
+    Xm0 = Xm @ H0[:3, :3].T + H0[:3, 3]
+    np.testing.assert_array_equal(
+        _dilate_mask(Xf, Xm, r, H0=H0), _brute_mask(Xf, Xm0, r)
+    )
+
+
+def test_band_is_thin_for_dense_clouds(rng):
+    """Sanity on the design premise: for dense overlapping surfaces, the
+    uncertain band (the only part that pays per-query gathers) stays a
+    small fraction of the queries."""
+    xy = rng.uniform(-2, 2, size=(20000, 2))
+    z = 0.3 * np.sin(2 * xy[:, 0])
+    Xf = np.column_stack([xy, z])
+    Xm = Xf + rng.normal(scale=0.01, size=Xf.shape)
+    r = 0.5
+    plan = plan_dilate_gate(Xf, Xm, r)
+    in_mask, band_mask = classify_queries(
+        jnp.asarray(Xf), jnp.asarray(Xm), jnp.asarray(np.eye(4)), plan=plan
+    )
+    band_frac = float(np.asarray(band_mask).mean())
+    assert band_frac < 0.05, band_frac
+    np.testing.assert_array_equal(
+        _dilate_mask(Xf, Xm, r), _brute_mask(Xf, Xm, r)
+    )
+
+
+def test_pipeline_dilate_matches_brute_gate(bunny):
+    """End-to-end: bunny registered with gate_method='dilate' must produce
+    the identical trace as the brute gate."""
+    from simpleicp_tpu import IcpConfig, icp_register
+
+    X_fix, X_mov = bunny
+    res_b = icp_register(
+        X_fix, X_mov, IcpConfig(max_overlap_distance=1.0, gate_method="brute")
+    )
+    res_d = icp_register(
+        X_fix, X_mov, IcpConfig(max_overlap_distance=1.0, gate_method="dilate")
+    )
+    assert int(res_d.error_code) == 0
+    np.testing.assert_array_equal(
+        np.asarray(res_b.sel_idx), np.asarray(res_d.sel_idx)
+    )
+    assert int(res_b.n_iterations) == int(res_d.n_iterations)
+    np.testing.assert_allclose(
+        np.asarray(res_b.H), np.asarray(res_d.H), rtol=0, atol=0
+    )

@@ -149,3 +149,80 @@ def test_sharded_user_normals(rng):
     np.testing.assert_allclose(
         np.asarray(res_sh.normals), np.asarray(res_se.normals), atol=1e-12
     )
+
+
+def test_ring_grid_gate_global_lattice_no_truncation():
+    """Adversarial lattice-shift construction: a shard whose LOCAL minimum
+    sits half a cell off the global minimum. With per-shard origins (the
+    pre-fix behavior) that shard's lattice shifts, one shard cell swallows
+    up to 4 full-cloud cells (61 points here), the full-cloud
+    `grid_cell_cap` no longer bounds its occupancy, and the lone in-radius
+    witness — sorted last in the merged run — is silently truncated: the
+    gate reports no overlap for its query. With the global pmin origin the
+    full-cloud cap is a provable bound and the witness survives."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from simpleicp_tpu.ops.gridhash import grid_cell_cap
+    from simpleicp_tpu.parallel.sharded import _ring_min_dist2_grid
+
+    radius = 1.0
+    rows = 128  # per-shard row count (padded with invalid)
+
+    # shard 0: the adversarial one
+    chaff = []
+    rng = np.random.default_rng(7)
+    for lo in [(1.0, 1.0), (1.0, 0.6), (0.6, 1.0)]:  # full cells (1,1),(1,0),(0,1)
+        xs = rng.uniform(lo[0], lo[0] + 0.4, 20)
+        ys = rng.uniform(lo[1], lo[1] + 0.35, 20)
+        chaff.append(np.column_stack([xs, ys, np.zeros(20)]))
+    shard0 = np.concatenate(
+        chaff
+        + [np.array([[0.5, 0.5, 50.0]])]    # local-min shifter (far away)
+        + [np.array([[0.7, 0.7, 0.0]])]     # the witness, LAST in the shard
+    )
+    # shard 1: provides the global (0,0,0)-ish minimum plus dull points
+    shard1 = np.array([[0.0, 0.0, 0.0], [100.0, 100.0, 100.0]])
+
+    def pad(X):
+        out = np.full((rows, 3), 1e6)
+        out[: X.shape[0]] = X
+        valid = np.zeros(rows, bool)
+        valid[: X.shape[0]] = True
+        return out, valid
+
+    m0, v0 = pad(shard0)
+    m1, v1 = pad(shard1)
+    Xm = np.concatenate([m0, m1])
+    m_valid = np.concatenate([v0, v1])
+
+    # query: within radius of ONLY the witness (0.99), every chaff point
+    # and everything else is > 1.03 away
+    Qf = np.tile(np.array([[0.7, 0.7, -0.99]]), (2 * rows, 1))
+    f_valid = np.ones(2 * rows, bool)
+
+    full = np.concatenate([shard0, shard1])
+    cap = grid_cell_cap(full, radius)
+    d_exact = np.sqrt(((Qf[0] - full) ** 2).sum(axis=1)).min()
+    assert d_exact <= radius  # the witness really is in radius
+
+    mesh = make_mesh(2)
+    gate = shard_map(
+        lambda q, fv, m, mv: _ring_min_dist2_grid(
+            q, fv, m, mv, radius, cap, "points", 2
+        ),
+        mesh=mesh,
+        in_specs=(P("points"), P("points"), P("points"), P("points")),
+        out_specs=P("points"),
+        check_vma=False,
+    )
+    d2 = np.asarray(
+        gate(
+            jnp.asarray(Qf, jnp.float64), jnp.asarray(f_valid),
+            jnp.asarray(Xm, jnp.float64), jnp.asarray(m_valid),
+        )
+    )
+    assert np.all(d2[f_valid] <= radius**2), (
+        f"gate missed the witness: min d2 {d2[f_valid].min()}"
+    )
+    np.testing.assert_allclose(np.sqrt(d2[0]), d_exact, rtol=1e-12)
