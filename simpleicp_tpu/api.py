@@ -280,6 +280,7 @@ class SimpleICP:
         std_ddof: int = 0,
         center: bool = True,
         approx_knn: bool = False,
+        gate_method: str = "auto",
         mesh=None,
         num_devices: int = 0,
     ) -> Tuple[np.ndarray, np.ndarray, RigidBodyParameters, np.ndarray]:
@@ -343,6 +344,7 @@ class SimpleICP:
             rejection_staging=rejection_staging,
             std_ddof=std_ddof,
             approx_knn=approx_knn,
+            gate_method=gate_method,
             record_trajectory=bool(debug_dirpath),
         )
 

@@ -71,6 +71,12 @@ def build_parser() -> argparse.ArgumentParser:
              "(TPU serving config; ~30%% faster, exact distances, "
              "~0.997 candidate recall)",
     )
+    p.add_argument(
+        "--gate-method", choices=("auto", "brute", "grid", "dilate"),
+        default="auto",
+        help="overlap-gate engine: dense sweep, spatial hash, or "
+             "dilated-occupancy bitmap (auto picks by problem size)",
+    )
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -120,6 +126,7 @@ def main(argv=None) -> int:
         std_ddof=0 if ddof is None else ddof,
         debug_dirpath=args.debug_dirpath,
         approx_knn=args.approx_knn,
+        gate_method=args.gate_method,
         num_devices=args.num_devices,
     )
     if args.export:

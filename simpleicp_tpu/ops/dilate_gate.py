@@ -9,30 +9,39 @@ slab, planar — scripts/probe_sort_join*.py), which caps any cell-list scan at
 ~1e9 gathered candidates; a 12.5M x 12.5M gate wants ~1e10. This module
 answers the existence question with NO per-query candidate gathers:
 
-  1. bin the movable cloud into cells of size ~radius/2 over a dense 3D grid
-     (one scatter: measured 1.2 s for 12.5M keys);
-  2. dilate the occupancy bitmap with two conservative stencils, as pure
-     vectorized axis-rolls over the dense grid (no gathers; the grid carries
-     an empty border so wraparound is harmless):
+  1. bin the movable cloud into cells of size ~radius/16 over a dense 3D
+     grid, bit-packed 32 z-cells per uint32 word (host-side
+     `np.bitwise_or.at` — the one scatter-OR no accelerator primitive
+     covers — on the device-transformed cloud fetched once);
+  2. dilate the occupancy bitmap with two conservative stencils on device:
        IN   = cells whose every point is certainly within (r - margin) of
               some movable point:   a*sqrt(sum (|d|+1)^2) <= r - margin
        POSS = cells that could possibly have a movable point within
               (r + margin):         a*sqrt(sum max(|d|-1,0)^2) <= r + margin
-  3. classify each fixed point by ONE gather into the two bitmaps:
+     The dilation walks z-radius levels incrementally (two packed bit-shift
+     ORs per level) and applies each level's (dx, dy) offsets as dynamic
+     2-D rolls inside a `lax.fori_loop` — no per-entry recompilation, no
+     gathers, bandwidth-sequential over the word grid.
+  3. classify each fixed point by ONE word-gather + bit test per bitmap:
      IN -> selected; not POSS -> rejected; the thin band between them gets
-     EXACT distance checks through the cell-list engine (ops/gridhash.py) on
-     that small subset only.
+     EXACT distance checks (chunked dense VPU sweeps, ops/knn.py).
+
+Bit-packing is what buys the fine lattice: a radius/16 cell over the same
+bounding box costs 64x more cells than radius/4 but only 2x more MEMORY
+than an unpacked radius/4 byte-grid, and the band (the only part that pays
+exact distance work) shrinks linearly with the cell size — measured on the
+12.5M tiled-dragon case from ~13% of queries (cell r/4) to ~2-3% (r/16).
 
 The margin absorbs every floating-point discrepancy between the host-side
-plan, the f32 device binning, and the device distance checks, always erring
+packing, the device binning, and the device distance checks, always erring
 toward the band (= toward exact resolution), so the final mask equals the
 exact `min_dist <= r` predicate bit for bit.
 
-Applicability: needs a dense grid over the joint bounding box —
-`plan_dilate_gate` returns None when the (bordered, padded) cell count
-exceeds `max_cells`, and the caller falls back to the hash-grid or brute
-engines. Real scan data (surface-like, extent up to ~10^4 x radius) fits
-easily; the limit only excludes extreme volumetric extents.
+Applicability: needs a dense word grid over the joint bounding box —
+`plan_dilate_gate` returns None when no cell division fits `max_words`,
+and the caller falls back to the hash-grid or brute engines. Real scan
+data (surface-like, extent up to ~10^4 x radius) fits easily; the limit
+only excludes extreme volumetric extents.
 """
 
 from __future__ import annotations
@@ -43,6 +52,7 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 
 class DilatePlan(NamedTuple):
@@ -50,10 +60,12 @@ class DilatePlan(NamedTuple):
 
     origin: Tuple[float, float, float]   # grid origin (f64, includes border)
     inv_cell: float                      # 1 / cell size (f64)
-    dims: Tuple[int, int, int]           # grid dims incl. border (static)
+    dims: Tuple[int, int, int]           # grid dims in CELLS incl. border
     in_offsets: Tuple[Tuple[int, int, int], ...]    # (dx, dy, z_rad)
     poss_offsets: Tuple[Tuple[int, int, int], ...]  # (dx, dy, z_rad)
     n_cells: int
+    wz: int                              # uint32 words along z (= ceil(dz/32))
+    n_words: int                         # dims[0] * dims[1] * wz
 
 
 def _stencil(radius_cells: float, criterion) -> Tuple[Tuple[int, int, int], ...]:
@@ -74,12 +86,16 @@ def _stencil(radius_cells: float, criterion) -> Tuple[Tuple[int, int, int], ...]
 
 @jax.jit
 def bbox_of(Xf, Xm, H0):
-    """Joint bounding box of the fixed cloud and the H0-transformed movable
-    cloud, on device — so gate planning never fetches full clouds."""
+    """Bounding box of the H0-transformed MOVABLE cloud, on device — so gate
+    planning never fetches full clouds. The grid only needs to cover the
+    movable cloud + stencil border: any query beyond it clips to the
+    outermost border layer, which dilation can never reach (POSS extends at
+    most border-1 cells past an occupied cell), so far queries classify as
+    rejected without the fixed cloud inflating the grid. (`Xf` is accepted
+    for signature stability but does not shape the box.)"""
+    del Xf
     Xm0 = Xm @ H0[:3, :3].T + H0[:3, 3]
-    lo = jnp.minimum(jnp.min(Xf, axis=0), jnp.min(Xm0, axis=0))
-    hi = jnp.maximum(jnp.max(Xf, axis=0), jnp.max(Xm0, axis=0))
-    return lo, hi
+    return jnp.min(Xm0, axis=0), jnp.max(Xm0, axis=0)
 
 
 def plan_dilate_gate(
@@ -88,46 +104,56 @@ def plan_dilate_gate(
     radius: float,
     *,
     cell_div: Optional[int] = None,
-    max_cells: int = 1 << 27,
+    max_words: int = 1 << 28,
+    max_shift_words: int = 1 << 38,
     bbox: Optional[Tuple[np.ndarray, np.ndarray]] = None,
 ) -> Optional[DilatePlan]:
     """Build the static gate plan on the host (numpy f64).
 
     Args:
-        X_fix: (nf, 3) fixed cloud (the queries).
+        X_fix: accepted for signature stability; the grid covers only the
+            movable cloud (see `bbox_of` — far queries clip to the
+            never-POSS border and classify as rejected).
         X_mov0: (nm, 3) movable cloud AFTER the initial transform (the
             references; compute with the same H0 the device applies).
         radius: max_overlap_distance.
         cell_div: cells per radius (cell = radius / cell_div). Finer cells
-            narrow the uncertain band (fewer exact checks) but cube the
-            grid and grow the stencils; None picks the largest of 8/4/2
-            that fits `max_cells`.
-        max_cells: dense-grid budget; None is returned beyond it (caller
+            narrow the uncertain band (fewer exact checks) at the cost of
+            a larger word grid and bigger stencils; None picks the largest
+            of 16/8/4/2 that fits both budgets. Capped at 16 so stencil
+            z-radii stay < 32 (single-word bit shifts).
+        max_words: packed-grid memory budget in uint32 words (default
+            2^28 = 1 GB per grid); None is returned beyond it (caller
             falls back to the hash-grid engine).
+        max_shift_words: dilation COMPUTE budget — n_words x total stencil
+            entries, i.e. word-traffic of the shift/OR passes (before the
+            ~8x batching reuse). Default 2^38 keeps the dilation to a few
+            device-seconds.
 
     Returns:
-        DilatePlan, or None when the joint bounding box needs too many cells.
+        DilatePlan, or None when no cell division fits the budgets.
     """
     if bbox is not None:
         lo, hi = np.asarray(bbox[0], np.float64), np.asarray(bbox[1], np.float64)
     else:
-        Xf = np.asarray(X_fix, np.float64)
         Xm = np.asarray(X_mov0, np.float64)
-        if Xf.size == 0 or Xm.size == 0:
+        if Xm.size == 0:
             return None
-        lo = np.minimum(Xf.min(axis=0), Xm.min(axis=0))
-        hi = np.maximum(Xf.max(axis=0), Xm.max(axis=0))
+        lo = Xm.min(axis=0)
+        hi = Xm.max(axis=0)
     if not (np.all(np.isfinite(lo)) and np.all(np.isfinite(hi))):
         return None
     if cell_div is None:
-        for div in (8, 4, 2):
+        for div in (16, 8, 4, 2):
             plan = plan_dilate_gate(
-                None, None, radius, cell_div=div, max_cells=max_cells,
-                bbox=(lo, hi),
+                None, None, radius, cell_div=div, max_words=max_words,
+                max_shift_words=max_shift_words, bbox=(lo, hi),
             )
             if plan is not None:
                 return plan
         return None
+    if cell_div > 16:
+        raise ValueError("cell_div must be <= 16 (packed z shifts)")
     cell = float(radius) / cell_div
 
     # Border: stencil reach + 1 so axis rolls wrap only through empty cells,
@@ -135,9 +161,11 @@ def plan_dilate_gate(
     a_cells = cell_div  # radius in cells
     border = int(np.ceil(a_cells)) + 3
     dims_f = np.ceil((hi - lo) / cell) + 1 + 2 * border
-    if np.prod(dims_f) > max_cells:
-        return None
     dims = tuple(int(d) for d in dims_f)
+    wz = -(-dims[2] // 32)
+    n_words = dims[0] * dims[1] * wz
+    if n_words > max_words:
+        return None
     origin = tuple(float(v) for v in (lo - border * cell))
 
     # Margin: covers f32 binning error (a point may sit outside its assigned
@@ -160,13 +188,19 @@ def plan_dilate_gate(
             <= r_poss ** 2
         )
 
+    in_offsets = _stencil(a_cells, crit_in)
+    poss_offsets = _stencil(a_cells, crit_poss)
+    if n_words * (len(in_offsets) + len(poss_offsets)) > max_shift_words:
+        return None
     return DilatePlan(
         origin=origin,
         inv_cell=1.0 / cell,
         dims=dims,
-        in_offsets=_stencil(a_cells, crit_in),
-        poss_offsets=_stencil(a_cells, crit_poss),
+        in_offsets=in_offsets,
+        poss_offsets=poss_offsets,
         n_cells=int(np.prod(dims)),
+        wz=wz,
+        n_words=n_words,
     )
 
 
@@ -179,62 +213,126 @@ def _cells_of(points, origin, inv_cell, dims):
     return jnp.clip(k, 0, jnp.asarray(dims, jnp.int32) - 1)
 
 
-def _shift2d(grid, dx, dy):
-    """Roll along the two major axes; the empty border makes wrap harmless."""
-    g = grid
-    if dx:
-        g = jnp.roll(g, dx, axis=0)
-    if dy:
-        g = jnp.roll(g, dy, axis=1)
-    return g
+def pack_occupancy(Xm0: np.ndarray, plan: DilatePlan, dtype) -> np.ndarray:
+    """Host: bin the (already initial-transformed) movable cloud and OR its
+    occupancy bits into the packed word grid. Binning replicates the device
+    arithmetic exactly (same dtype, same (p - origin) * inv_cell form), so
+    host refs and device queries see one lattice; any residual boundary
+    flip is covered by the plan margin."""
+    dt = np.dtype(dtype)
+    X = np.asarray(Xm0, dt)
+    origin = np.asarray(plan.origin, dt)
+    inv = dt.type(plan.inv_cell)
+    k = np.floor((X - origin) * inv).astype(np.int64)
+    np.clip(k, 0, np.asarray(plan.dims, np.int64) - 1, out=k)
+    widx = (k[:, 0] * plan.dims[1] + k[:, 1]) * plan.wz + (k[:, 2] >> 5)
+    val = np.uint32(1) << (k[:, 2] & 31).astype(np.uint32)
+    grid = np.zeros(plan.n_words, np.uint32)
+    np.bitwise_or.at(grid, widx, val)
+    return grid
 
 
-def _dilate(occ, offsets):
-    """OR of `occ` shifted by every (dx, dy, dz) the stencil describes.
-    dz-ranges are built incrementally (Oz[k] = occ dilated by |dz| <= k),
-    then each (dx, dy, z_rad) entry contributes one 2-D shift."""
-    z_max = max((z for _, _, z in offsets), default=0)
-    oz = [occ]
-    for k in range(1, z_max + 1):
-        prev = oz[-1]
-        oz.append(
-            prev | jnp.roll(occ, k, axis=2) | jnp.roll(occ, -k, axis=2)
-        )
-    out = jnp.zeros_like(occ)
+def _zshift_up(occ, k):
+    """Packed occupancy shifted +k cells along z (k static, 1 <= k < 32):
+    in-word bit shift + carry bits from the -z neighbor word. Wraparound
+    pulls the top border words, which the plan keeps empty."""
+    prev = jnp.roll(occ, 1, axis=2)
+    return (occ << k) | (prev >> (32 - k))
+
+
+def _zshift_dn(occ, k):
+    nxt = jnp.roll(occ, -1, axis=2)
+    return (occ >> k) | (nxt << (32 - k))
+
+
+_ROLL_BATCH = 8  # dilation rolls fused per fori step (see _dilate_packed)
+
+
+def _dilate_packed(occ, offsets):
+    """OR of `occ` shifted by every (dx, dy, dz) the stencil describes,
+    on the packed (x, y, z-words) grid.
+
+    z-radius levels run incrementally (oz grows by two packed shift-ORs per
+    level); each level's (dx, dy) offsets are applied as dynamic 2-D rolls
+    inside one fori_loop over a small index table — the jaxpr stays tiny
+    no matter how large the stencil (at cell_div=16 the POSS stencil has
+    ~900 entries; unrolled that would be a multi-minute compile). Rolls are
+    batched _ROLL_BATCH per fori step: the shifted reads of one step cover
+    nearly the same tiles (shifts are at most +/-(div+2) cells), so the
+    fused kernel re-reads cached data instead of streaming the grid once
+    per entry — ~_ROLL_BATCH x less HBM traffic. Padding a short batch with
+    (0, 0) is harmless: the (0, 0) column always carries the stencil's
+    maximal z-radius, so OR-ing the current oz unshifted adds a subset of
+    what the stencil already covers."""
+    by_z = {}
     for dx, dy, z in offsets:
-        out = out | _shift2d(oz[z], dx, dy)
+        by_z.setdefault(z, []).append((dx, dy))
+    if not by_z:
+        return jnp.zeros_like(occ)
+    z_max = max(by_z)
+    out = jnp.zeros_like(occ)
+    oz = occ
+    K = _ROLL_BATCH
+    for z in range(z_max + 1):
+        if z > 0:
+            oz = oz | _zshift_up(occ, z) | _zshift_dn(occ, z)
+        ents = by_z.get(z)
+        if not ents:
+            continue
+        n_b = -(-len(ents) // K)
+        padded = list(ents) + [(0, 0)] * (n_b * K - len(ents))
+        table = jnp.asarray(padded, jnp.int32).reshape(n_b, K, 2)
+        oz_c = oz
+
+        def body(j, acc, table=table, oz_c=oz_c):
+            row = table[j]
+            for t in range(K):
+                acc = acc | jnp.roll(oz_c, (row[t, 0], row[t, 1]), (0, 1))
+            return acc
+
+        out = lax.fori_loop(0, n_b, body, out)
     return out
 
 
 @functools.partial(jax.jit, static_argnames=("plan",))
-def classify_queries(Xf, Xm, H0, *, plan: DilatePlan):
-    """Device: occupancy scatter + two dilations + one gather per query.
+def _classify_packed(Xf, occ_words, *, plan: DilatePlan):
+    """Device: two packed dilations + one word gather + bit test per query.
 
     Returns (in_mask, band_mask): selected-for-sure / needs exact check.
     """
     dtype = Xf.dtype
     origin = jnp.asarray(plan.origin, dtype)
     inv_cell = jnp.asarray(plan.inv_cell, dtype)
-    Xm0 = Xm @ H0[:3, :3].T + H0[:3, 3]
-
     dims = plan.dims
-    kr = _cells_of(Xm0, origin, inv_cell, dims)
-    flat = (kr[:, 0] * dims[1] + kr[:, 1]) * dims[2] + kr[:, 2]
-    occ = (
-        jnp.zeros(plan.n_cells, jnp.uint8)
-        .at[flat]
-        .max(jnp.uint8(1), mode="drop")
-        .reshape(dims)
-        .astype(bool)
-    )
+    occ = occ_words.reshape(dims[0], dims[1], plan.wz)
 
-    in_grid = _dilate(occ, plan.in_offsets)
-    poss_grid = _dilate(occ, plan.poss_offsets)
+    in_grid = _dilate_packed(occ, plan.in_offsets)
+    poss_grid = _dilate_packed(occ, plan.poss_offsets)
 
     kq = _cells_of(Xf, origin, inv_cell, dims)
-    in_mask = in_grid[kq[:, 0], kq[:, 1], kq[:, 2]]
-    poss_mask = poss_grid[kq[:, 0], kq[:, 1], kq[:, 2]]
+    widx = (kq[:, 0] * dims[1] + kq[:, 1]) * plan.wz + (kq[:, 2] >> 5)
+    bit = (kq[:, 2] & 31).astype(jnp.uint32)
+    in_w = in_grid.reshape(-1)[widx]
+    poss_w = poss_grid.reshape(-1)[widx]
+    in_mask = ((in_w >> bit) & 1).astype(bool)
+    poss_mask = ((poss_w >> bit) & 1).astype(bool)
     return in_mask, poss_mask & ~in_mask
+
+
+@jax.jit
+def _transform(Xm, H0):
+    return Xm @ H0[:3, :3].T + H0[:3, 3]
+
+
+def classify_queries(Xf, Xm, H0, *, plan: DilatePlan):
+    """Full classify: fetch the device-transformed movable cloud once, pack
+    its occupancy on the host, run the packed dilation classify on device.
+
+    Returns (in_mask, band_mask) device arrays.
+    """
+    Xm0 = np.asarray(_transform(Xm, H0))
+    occ = pack_occupancy(Xm0, plan, Xf.dtype)
+    return _classify_packed(Xf, jnp.asarray(occ), plan=plan)
 
 
 @functools.partial(jax.jit, static_argnames=("inv_cell",))
@@ -280,6 +378,10 @@ def _pow2_pad(idx: np.ndarray) -> np.ndarray:
 # lost the hash-grid gate to exactly that) at the cost of one ~32 ms tunnel
 # roundtrip per extra chunk.
 _SWEEP_PAIR_BUDGET = 1 << 42
+# Band x cloud sizes up to this many pairs resolve with direct chunked
+# sweeps (~10 VPU-seconds); beyond it the witness decimation cascade cuts
+# the reference side down first.
+_DIRECT_SWEEP_MAX = 1 << 44
 
 
 def _chunked_min_d2(Xf, q_idx: np.ndarray, Xm, H0,
@@ -310,15 +412,18 @@ def overlap_mask_dilate(
     radius: float,
     plan: DilatePlan,
 ) -> np.ndarray:
-    """Full gate: classify on device, resolve the band exactly via a
-    decimation cascade, assemble the final selection mask (host bool array,
-    == the exact f32 `min_dist <= radius` predicate).
+    """Full gate: classify on device, resolve the band exactly, assemble the
+    final selection mask (host bool array, == the exact `min_dist <= radius`
+    predicate in the input dtype).
 
     Band resolution never gathers per-query candidates (the measured
     ~10 ns/element TPU gather cost makes cell-list scans explode at dense
-    radii — cap can reach ~700 points/cell). Instead it brute-sweeps the
-    band against DECIMATED witness clouds (one actual movable point per
-    fine cell, host-picked via np.unique on device-computed keys):
+    radii — cap can reach ~700 points/cell). The packed classify keeps the
+    band small enough (~2-3% of queries at cell_div=16) that direct chunked
+    VPU sweeps against the full cloud resolve it in a few device seconds.
+    Only when band x cloud exceeds _DIRECT_SWEEP_MAX does the decimation
+    cascade kick in: brute-sweep the band against DECIMATED witness clouds
+    (one actual movable point per fine cell, host-picked from sorted keys):
 
       * a witness within `radius` PROVES selection (it is a real point —
         no slop, no margin);
@@ -360,48 +465,52 @@ def overlap_mask_dilate(
     extent = cell0 * max(plan.dims)
     slop = 8.0 * float(np.finfo(dt).eps) * extent * max(r, 1.0)
 
-    # Witness levels, coarse -> fine; cells = radius / div, constrained so
-    # the finest level's dims stay within int16 packing range. One host
-    # argsort of the finest-level packed keys serves every level: sorted by
-    # fine key is sorted by every coarser prefix, so each level's
-    # one-witness-per-cell list is just the run starts of its shifted keys.
-    divs = sorted(d for d in (8, 32) if (max(plan.dims) * cell0 * d / r) < 32000)
-    if divs:
-        fine_div = divs[-1]
-        k64 = np.asarray(
-            _fine_cells_i16(
-                Xm, H0,
-                jnp.asarray(plan.origin, Xf.dtype),
-                inv_cell=1.0 / (r / fine_div),
-            )
-        ).astype(np.int64)
-        packed_fine = (k64[:, 0] << 32) | (k64[:, 1] << 16) | k64[:, 2]
-        order = np.argsort(packed_fine).astype(np.int32)
-        k_sorted = k64[order]
-        _mark("witness key fetch + sort")
-
     remaining = band_idx
-    for div in divs:
-        shift = int(np.log2(fine_div // div))
-        kd = k_sorted >> shift
-        packed = (kd[:, 0] << 32) | (kd[:, 1] << 16) | kd[:, 2]
-        starts = np.empty(packed.size, bool)
-        starts[0] = True
-        np.not_equal(packed[1:], packed[:-1], out=starts[1:])
-        rep_idx = _pow2_pad(order[starts])
-        d2 = _chunked_min_d2(Xf, remaining, Xm, H0, rep_idx)
-        diag = np.sqrt(3.0) * (r / div)
-        thresh_out = (r + diag + slop) ** 2
-        proven_in = d2 <= r2
-        proven_out = d2 > thresh_out
-        out[remaining[proven_in]] = True
-        remaining = remaining[~proven_in & ~proven_out]
-        _mark(
-            f"witness div={div} ({int(np.sum(starts))} reps, "
-            f"{remaining.size} left)"
+    if remaining.size * Xm.shape[0] > _DIRECT_SWEEP_MAX:
+        # Witness levels, coarse -> fine; cells = radius / div, constrained
+        # so the finest level's dims stay within int16 packing range. One
+        # host argsort of the finest-level packed keys serves every level:
+        # sorted by fine key is sorted by every coarser prefix, so each
+        # level's one-witness-per-cell list is just the run starts of its
+        # shifted keys.
+        divs = sorted(
+            d for d in (8, 32) if (max(plan.dims) * cell0 * d / r) < 32000
         )
-        if remaining.size == 0:
-            return out
+        if divs:
+            fine_div = divs[-1]
+            k64 = np.asarray(
+                _fine_cells_i16(
+                    Xm, H0,
+                    jnp.asarray(plan.origin, Xf.dtype),
+                    inv_cell=1.0 / (r / fine_div),
+                )
+            ).astype(np.int64)
+            packed_fine = (k64[:, 0] << 32) | (k64[:, 1] << 16) | k64[:, 2]
+            order = np.argsort(packed_fine).astype(np.int32)
+            k_sorted = k64[order]
+            _mark("witness key fetch + sort")
+
+        for div in divs:
+            shift = int(np.log2(fine_div // div))
+            kd = k_sorted >> shift
+            packed = (kd[:, 0] << 32) | (kd[:, 1] << 16) | kd[:, 2]
+            starts = np.empty(packed.size, bool)
+            starts[0] = True
+            np.not_equal(packed[1:], packed[:-1], out=starts[1:])
+            rep_idx = _pow2_pad(order[starts])
+            d2 = _chunked_min_d2(Xf, remaining, Xm, H0, rep_idx)
+            diag = np.sqrt(3.0) * (r / div)
+            thresh_out = (r + diag + slop) ** 2
+            proven_in = d2 <= r2
+            proven_out = d2 > thresh_out
+            out[remaining[proven_in]] = True
+            remaining = remaining[~proven_in & ~proven_out]
+            _mark(
+                f"witness div={div} ({int(np.sum(starts))} reps, "
+                f"{remaining.size} left)"
+            )
+            if remaining.size == 0:
+                return out
 
     d2 = _chunked_min_d2(Xf, remaining, Xm, H0, None)
     out[remaining] = d2 <= r2
