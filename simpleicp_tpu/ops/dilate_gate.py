@@ -234,14 +234,16 @@ def pack_occupancy(Xm0: np.ndarray, plan: DilatePlan, dtype) -> np.ndarray:
 
 def _zshift_up(occ, k):
     """Packed occupancy shifted +k cells along z (k static, 1 <= k < 32):
-    in-word bit shift + carry bits from the -z neighbor word. Wraparound
-    pulls the top border words, which the plan keeps empty."""
-    prev = jnp.roll(occ, 1, axis=2)
+    in-word bit shift + carry bits from the -z neighbor word. The first
+    word's carry source is zero (below the grid is empty)."""
+    zero = jnp.zeros_like(occ[:, :, :1])
+    prev = jnp.concatenate([zero, occ[:, :, :-1]], axis=2)
     return (occ << k) | (prev >> (32 - k))
 
 
 def _zshift_dn(occ, k):
-    nxt = jnp.roll(occ, -1, axis=2)
+    zero = jnp.zeros_like(occ[:, :, :1])
+    nxt = jnp.concatenate([occ[:, :, 1:], zero], axis=2)
     return (occ >> k) | (nxt << (32 - k))
 
 
@@ -253,23 +255,30 @@ def _dilate_packed(occ, offsets):
     on the packed (x, y, z-words) grid.
 
     z-radius levels run incrementally (oz grows by two packed shift-ORs per
-    level); each level's (dx, dy) offsets are applied as dynamic 2-D rolls
-    inside one fori_loop over a small index table — the jaxpr stays tiny
-    no matter how large the stencil (at cell_div=16 the POSS stencil has
-    ~900 entries; unrolled that would be a multi-minute compile). Rolls are
-    batched _ROLL_BATCH per fori step: the shifted reads of one step cover
-    nearly the same tiles (shifts are at most +/-(div+2) cells), so the
-    fused kernel re-reads cached data instead of streaming the grid once
-    per entry — ~_ROLL_BATCH x less HBM traffic. Padding a short batch with
-    (0, 0) is harmless: the (0, 0) column always carries the stencil's
-    maximal z-radius, so OR-ing the current oz unshifted adds a subset of
-    what the stencil already covers."""
+    level); each level's (dx, dy) offsets are applied as dynamic-offset
+    window reads of a ZERO-PADDED copy of oz inside one fori_loop over a
+    small index table — the jaxpr stays tiny no matter how large the
+    stencil (at cell_div=16 the POSS stencil has ~900 entries; unrolled
+    that would be a multi-minute compile, and `jnp.roll` with traced
+    shifts would lower to concat + slice, doubling traffic). The padding
+    is zeros = empty cells, exactly what lives beyond the plan border, so
+    a shifted window never reads phantom occupancy. Reads are batched
+    _ROLL_BATCH per fori step: one step's windows overlap almost entirely
+    (shifts are at most +/-(div+2) cells), so the fused kernel re-reads
+    cached tiles instead of streaming the grid once per entry. Padding a
+    short batch with (0, 0) is harmless: the (0, 0) column always carries
+    the stencil's maximal z-radius, so OR-ing oz unshifted adds a subset
+    of what the stencil already covers."""
     by_z = {}
     for dx, dy, z in offsets:
         by_z.setdefault(z, []).append((dx, dy))
     if not by_z:
         return jnp.zeros_like(occ)
     z_max = max(by_z)
+    P = max(
+        max(abs(dx), abs(dy)) for dx, dy, _ in offsets
+    )
+    nx, ny, wz = occ.shape
     out = jnp.zeros_like(occ)
     oz = occ
     K = _ROLL_BATCH
@@ -282,12 +291,17 @@ def _dilate_packed(occ, offsets):
         n_b = -(-len(ents) // K)
         padded = list(ents) + [(0, 0)] * (n_b * K - len(ents))
         table = jnp.asarray(padded, jnp.int32).reshape(n_b, K, 2)
-        oz_c = oz
+        oz_p = jnp.pad(oz, ((P, P), (P, P), (0, 0)))
 
-        def body(j, acc, table=table, oz_c=oz_c):
+        def body(j, acc, table=table, oz_p=oz_p):
             row = table[j]
             for t in range(K):
-                acc = acc | jnp.roll(oz_c, (row[t, 0], row[t, 1]), (0, 1))
+                # window at offset (dx, dy): padded[P - dx : ..., P - dy : ...]
+                acc = acc | lax.dynamic_slice(
+                    oz_p,
+                    (P - row[t, 0], P - row[t, 1], jnp.int32(0)),
+                    (nx, ny, wz),
+                )
             return acc
 
         out = lax.fori_loop(0, n_b, body, out)
