@@ -267,7 +267,7 @@ def _sharded_knn(Q, Xf_local, f_valid, k, axis, ndev, ref_tile, query_tile):
     jax.jit,
     static_argnames=("cfg", "has_normals", "has_mov_planarity", "mesh", "ndev"),
 )
-def _icp_run_sharded(Xf, f_valid, Xm, m_valid, obs_vals, obs_w,
+def _icp_run_sharded(Xf, f_valid, Xm, m_valid, ext_sel, obs_vals, obs_w,
                      normals_fix, planarity_fix, planarity_mov,
                      *, cfg: IcpConfig, has_normals: bool,
                      has_mov_planarity: bool,
@@ -276,7 +276,8 @@ def _icp_run_sharded(Xf, f_valid, Xm, m_valid, obs_vals, obs_w,
     qt, rt = cfg.query_tile, (cfg.ref_tile or 4096)
     C = cfg.correspondences
 
-    def spmd(Xf_l, fv_l, Xm_l, mv_l, obs_vals, obs_w, nrm_l, pla_l, pmov_l):
+    def spmd(Xf_l, fv_l, Xm_l, mv_l, ext_l, obs_vals, obs_w, nrm_l, pla_l,
+             pmov_l):
         dtype = Xf_l.dtype
         mrows = Xm_l.shape[0]
         frows = Xf_l.shape[0]
@@ -285,19 +286,25 @@ def _icp_run_sharded(Xf, f_valid, Xm, m_valid, obs_vals, obs_w,
         H0 = rbp_to_H(obs_vals)
         error = jnp.int32(ERR_OK)
 
-        # ---- overlap gate (ring pass over movable shards) ----
+        # ---- overlap gate (ring pass over movable shards, or the
+        # precomputed dilated-occupancy mask sharded in) ----
         if cfg.overlap_enabled:
-            Xm0_l = apply_H(Xm_l, H0)
-            if cfg.gate_method == "grid":
-                d2 = _ring_min_dist2_grid(
-                    Xf_l, fv_l, Xm0_l, mv_l, cfg.max_overlap_distance,
-                    max(cfg.grid_cell_cap, 1), axis, ndev,
-                )
+            if cfg.gate_method == "dilate":
+                sel_l = fv_l & ext_l
             else:
-                d2 = _ring_min_dist2(
-                    Xf_l, fv_l, Xm0_l, mv_l, axis, ndev, rt, qt
+                Xm0_l = apply_H(Xm_l, H0)
+                if cfg.gate_method == "grid":
+                    d2 = _ring_min_dist2_grid(
+                        Xf_l, fv_l, Xm0_l, mv_l, cfg.max_overlap_distance,
+                        max(cfg.grid_cell_cap, 1), axis, ndev,
+                    )
+                else:
+                    d2 = _ring_min_dist2(
+                        Xf_l, fv_l, Xm0_l, mv_l, axis, ndev, rt, qt
+                    )
+                sel_l = fv_l & (
+                    d2 <= jnp.asarray(cfg.max_overlap_distance, dtype) ** 2
                 )
-            sel_l = fv_l & (d2 <= jnp.asarray(cfg.max_overlap_distance, dtype) ** 2)
             any_sel = lax.psum(jnp.sum(sel_l), axis) > 0
             error = jnp.where(any_sel, error, jnp.int32(ERR_NO_OVERLAP))
             sel_l = jnp.where(any_sel, sel_l, fv_l)
@@ -386,12 +393,12 @@ def _icp_run_sharded(Xf, f_valid, Xm, m_valid, obs_vals, obs_w,
     return shard_map(
         spmd,
         mesh=mesh,
-        in_specs=(sharded2d, sharded, sharded2d, sharded, rep, rep,
+        in_specs=(sharded2d, sharded, sharded2d, sharded, sharded, rep, rep,
                   sharded2d, sharded, sharded),
         out_specs=out_specs,
         check_vma=False,
-    )(Xf, f_valid, Xm, m_valid, obs_vals, obs_w, normals_fix, planarity_fix,
-      planarity_mov)
+    )(Xf, f_valid, Xm, m_valid, ext_sel, obs_vals, obs_w, normals_fix,
+      planarity_fix, planarity_mov)
 
 
 def icp_register_sharded(
@@ -429,14 +436,55 @@ def icp_register_sharded(
         rt_auto = 1 << max(12, min(16, (local_rows // 8).bit_length()))
         cfg = dataclasses.replace(cfg, ref_tile=rt_auto)
 
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    np_dtype = np.dtype(dtype.dtype if hasattr(dtype, "dtype") else dtype)
+
     # Overlap-gate engine resolution, mirroring models.icp.icp_register:
-    # dense ring below ~1e12 pairs, traveling sorted cell lists beyond.
+    # dense ring below ~1e12 pairs; past that the dilated-occupancy gate
+    # (computed once up front on the unsharded clouds — single-process
+    # only, multi-host keeps the ring engines since no process holds the
+    # whole movable cloud) with the traveling sorted cell lists as the
+    # volumetric-extent fallback.
+    ext_sel_mask = None
     if cfg.overlap_enabled:
         import dataclasses
 
+        nf_, nm_ = np.asarray(X_fix).shape[0], np.asarray(X_mov).shape[0]
         resolved = cfg.gate_method
-        if resolved == "auto":
-            nf_, nm_ = np.asarray(X_fix).shape[0], np.asarray(X_mov).shape[0]
+        plan = None
+        single_proc = jax.process_count() == 1
+        if resolved in ("auto", "dilate") and single_proc:
+            from ..ops.dilate_gate import bbox_of, plan_dilate_gate
+
+            want = resolved == "dilate" or nf_ * nm_ > 2**40
+            if want:
+                Xf_d = jnp.asarray(np.asarray(X_fix, np_dtype))
+                Xm_d = jnp.asarray(np.asarray(X_mov, np_dtype))
+                obs_d = (
+                    jnp.zeros(6, np_dtype) if rbp_observed_values is None
+                    else jnp.asarray(rbp_observed_values, np_dtype)
+                )
+                H0_dev = rbp_to_H(obs_d)
+                lo, hi = bbox_of(Xf_d, Xm_d, H0_dev)
+                plan = plan_dilate_gate(
+                    None, None, cfg.max_overlap_distance,
+                    bbox=(np.asarray(lo), np.asarray(hi)),
+                )
+        if resolved == "dilate" and plan is None:
+            raise ValueError(
+                "gate_method='dilate' needs a single-process run and a "
+                "dense cell grid over the movable bounding box — use "
+                "'grid' or 'auto'."
+            )
+        if plan is not None:
+            from ..ops.dilate_gate import overlap_mask_dilate
+
+            resolved = "dilate"
+            ext_sel_mask = overlap_mask_dilate(
+                Xf_d, Xm_d, H0_dev, cfg.max_overlap_distance, plan
+            )
+        elif resolved == "auto":
             resolved = "grid" if nf_ * nm_ > 2**41 else "brute"
         cap = cfg.grid_cell_cap
         if resolved == "grid" and cap == 0:
@@ -454,15 +502,12 @@ def icp_register_sharded(
                 H0_np = rbp.H
                 Xm_np = Xm_np @ H0_np[:3, :3].T + H0_np[:3, 3]
             # full-cloud cap upper-bounds every shard's slot occupancy
+            # (all shards bin on one global lattice, _ring_min_dist2_grid)
             cap = grid_cell_cap(Xm_np, cfg.max_overlap_distance)
         if (resolved, cap) != (cfg.gate_method, cfg.grid_cell_cap):
             cfg = dataclasses.replace(
                 cfg, gate_method=resolved, grid_cell_cap=cap
             )
-
-    if dtype is None:
-        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-    np_dtype = np.dtype(dtype.dtype if hasattr(dtype, "dtype") else dtype)
 
     Xf = np.asarray(X_fix, np_dtype)
     Xm = np.asarray(X_mov, np_dtype)
@@ -501,6 +546,10 @@ def icp_register_sharded(
         else np.zeros((nm_pad,), np_dtype)
     )
 
+    ext_pad = np.zeros(nf_pad, bool)
+    if ext_sel_mask is not None:
+        ext_pad[:nf] = np.asarray(ext_sel_mask)
+
     shard1 = NamedSharding(mesh, P(axis))
     shard2 = NamedSharding(mesh, P(axis, None))
     rep = NamedSharding(mesh, P())
@@ -509,6 +558,7 @@ def icp_register_sharded(
         _put_sharded(f_valid, shard1),
         _put_sharded(Xm, shard2),
         _put_sharded(m_valid, shard1),
+        _put_sharded(ext_pad, shard1),
         jax.device_put(jnp.asarray(obs_vals), rep),
         jax.device_put(jnp.asarray(obs_w), rep),
         _put_sharded(nrm, shard2),

@@ -226,3 +226,34 @@ def test_ring_grid_gate_global_lattice_no_truncation():
         f"gate missed the witness: min d2 {d2[f_valid].min()}"
     )
     np.testing.assert_allclose(np.sqrt(d2[0]), d_exact, rtol=1e-12)
+
+
+def test_sharded_dilate_gate_matches_serial(rng):
+    """gate_method='dilate' under sharding: the precomputed mask rides the
+    points axis; result must equal both the sharded brute gate and the
+    serial dilate engine exactly."""
+    X_fix = _surface(rng, 3011)
+    X_mov = _surface(rng, 2993) - np.array([0.03, 0.01, -0.02])
+    mesh = make_mesh(8)
+    results = {}
+    for gm in ("brute", "dilate"):
+        cfg = IcpConfig(
+            correspondences=200, max_iterations=20,
+            max_overlap_distance=0.5, gate_method=gm,
+        )
+        results[gm] = icp_register_sharded(X_fix, X_mov, cfg, mesh=mesh)
+    res_se = icp_register(
+        X_fix, X_mov,
+        IcpConfig(correspondences=200, max_iterations=20,
+                  max_overlap_distance=0.5, gate_method="dilate"),
+    )
+    rb, rd = results["brute"], results["dilate"]
+    assert int(rb.error_code) == 0 and int(rd.error_code) == 0
+    np.testing.assert_array_equal(
+        np.asarray(rb.sel_idx), np.asarray(rd.sel_idx)
+    )
+    np.testing.assert_allclose(np.asarray(rb.H), np.asarray(rd.H), atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(rd.H), np.asarray(res_se.H), atol=1e-9
+    )
+    assert int(rb.n_iterations) == int(rd.n_iterations)
