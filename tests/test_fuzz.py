@@ -34,6 +34,7 @@ def test_random_config_never_nan(seed):
                           else float(rng.uniform(0.1, 10.0))),
         mad_scale=float(rng.choice([1.0, 1.4826])),
         solver=str(rng.choice(["nonlinear", "linearized"])),
+        gate_method=str(rng.choice(["auto", "brute", "grid", "dilate"])),
     )
     obs = rng.uniform(-0.05, 0.05, 6)
     w = np.zeros(6)
