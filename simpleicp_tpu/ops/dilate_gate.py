@@ -349,13 +349,36 @@ def classify_queries(Xf, Xm, H0, *, plan: DilatePlan):
     return _classify_packed(Xf, jnp.asarray(occ), plan=plan)
 
 
-@functools.partial(jax.jit, static_argnames=("inv_cell",))
-def _fine_cells_i16(Xm, H0, origin, *, inv_cell: float):
-    """Finest-level cell triples of the transformed movable cloud, as int16
-    (the caller guarantees < 32768 cells per dim at this level)."""
+@functools.partial(jax.jit, static_argnames=("plan",))
+def _dilate_poss_only(occ_words, *, plan: DilatePlan):
+    """Device: just the POSS dilation of a packed occupancy (the band-ref
+    compaction needs no IN grid)."""
+    occ = occ_words.reshape(plan.dims[0], plan.dims[1], plan.wz)
+    return _dilate_packed(occ, plan.poss_offsets)
+
+
+@functools.partial(jax.jit, static_argnames=("plan",))
+def _gather_band_queries(Xf, band_idx, *, plan: DilatePlan):
+    del plan  # shape-only salt is unnecessary; kept for call symmetry
+    return Xf[jnp.clip(band_idx, 0, Xf.shape[0] - 1)]
+
+
+@functools.partial(jax.jit, static_argnames=("plan",))
+def _filter_refs_packed(Xm, H0, poss_words, *, plan: DilatePlan):
+    """Device: mark each (transformed) movable point whose cell the band
+    POSS bitmap reaches — refs outside it are provably farther than the
+    radius from EVERY band query (crit_poss lower-bounds cell-to-cell point
+    distance) and can be dropped from the band sweep."""
     Xm0 = Xm @ H0[:3, :3].T + H0[:3, 3]
-    k = jnp.floor((Xm0 - origin) * jnp.asarray(inv_cell, Xm.dtype))
-    return jnp.clip(k, 0, 32766).astype(jnp.int16)
+    dims = plan.dims
+    k = _cells_of(
+        Xm0, jnp.asarray(plan.origin, Xm.dtype),
+        jnp.asarray(plan.inv_cell, Xm.dtype), dims,
+    )
+    widx = (k[:, 0] * dims[1] + k[:, 1]) * plan.wz + (k[:, 2] >> 5)
+    bit = (k[:, 2] & 31).astype(jnp.uint32)
+    grid = poss_words.reshape(-1)
+    return ((grid[widx] >> bit) & 1).astype(bool)
 
 
 @jax.jit
@@ -435,19 +458,17 @@ def overlap_mask_dilate(
     radii — cap can reach ~700 points/cell). The packed classify keeps the
     band small enough (~2-3% of queries at cell_div=16) that direct chunked
     VPU sweeps against the full cloud resolve it in a few device seconds.
-    Only when band x cloud exceeds _DIRECT_SWEEP_MAX does the decimation
-    cascade kick in: brute-sweep the band against DECIMATED witness clouds
-    (one actual movable point per fine cell, host-picked from sorted keys):
+    When band x cloud exceeds _DIRECT_SWEEP_MAX, the REFERENCE side is
+    compacted first: pack the band queries' own occupancy, POSS-dilate it,
+    and keep only movable points whose cell that bitmap reaches — every
+    dropped point is provably farther than `radius` from every band query
+    (crit_poss lower-bounds cell-to-cell point distance), so sweeping the
+    retained subset is exact. (A witness-decimation cascade was tried
+    first and removed: at cell_div=16 the band halfwidth ~0.11r is below
+    any witness level's cell diagonal until the witness set approaches the
+    full cloud, so no level could prove anything the classify had not.)
 
-      * a witness within `radius` PROVES selection (it is a real point —
-        no slop, no margin);
-      * every witness beyond `radius + cell_diag + margin` proves
-        rejection (any point is within cell_diag of its cell's witness);
-      * the leftover sliver (min-witness-distance straddling the radius)
-        halves per level and ends with one exact sweep against the full
-        cloud.
-
-    All stages run the existing tiled dense kernel (ops/knn.py) — the same
+    All sweeps run the existing tiled dense kernel (ops/knn.py) — the same
     one the brute gate uses — on compacted index sets sized by host-known
     counts (power-of-two buckets keep recompiles bounded).
     """
@@ -474,59 +495,43 @@ def overlap_mask_dilate(
     dt = np.dtype(Xf.dtype)
     r = float(radius)
     r2 = dt.type(r) * dt.type(r)  # same arithmetic as the brute gate
-    cell0 = 1.0 / plan.inv_cell
-    # absolute slop of the device distance computation at this scale
-    extent = cell0 * max(plan.dims)
-    slop = 8.0 * float(np.finfo(dt).eps) * extent * max(r, 1.0)
 
     remaining = band_idx
-    if remaining.size * Xm.shape[0] > _DIRECT_SWEEP_MAX:
-        # Witness levels, coarse -> fine; cells = radius / div, constrained
-        # so the finest level's dims stay within int16 packing range. One
-        # host argsort of the finest-level packed keys serves every level:
-        # sorted by fine key is sorted by every coarser prefix, so each
-        # level's one-witness-per-cell list is just the run starts of its
-        # shifted keys.
-        divs = sorted(
-            d for d in (8, 32) if (max(plan.dims) * cell0 * d / r) < 32000
-        )
-        if divs:
-            fine_div = divs[-1]
-            k64 = np.asarray(
-                _fine_cells_i16(
-                    Xm, H0,
-                    jnp.asarray(plan.origin, Xf.dtype),
-                    inv_cell=1.0 / (r / fine_div),
-                )
-            ).astype(np.int64)
-            packed_fine = (k64[:, 0] << 32) | (k64[:, 1] << 16) | k64[:, 2]
-            order = np.argsort(packed_fine).astype(np.int32)
-            k_sorted = k64[order]
-            _mark("witness key fetch + sort")
-
-        for div in divs:
-            shift = int(np.log2(fine_div // div))
-            kd = k_sorted >> shift
-            packed = (kd[:, 0] << 32) | (kd[:, 1] << 16) | kd[:, 2]
-            starts = np.empty(packed.size, bool)
-            starts[0] = True
-            np.not_equal(packed[1:], packed[:-1], out=starts[1:])
-            rep_idx = _pow2_pad(order[starts])
-            d2 = _chunked_min_d2(Xf, remaining, Xm, H0, rep_idx)
-            diag = np.sqrt(3.0) * (r / div)
-            thresh_out = (r + diag + slop) ** 2
-            proven_in = d2 <= r2
-            proven_out = d2 > thresh_out
-            out[remaining[proven_in]] = True
-            remaining = remaining[~proven_in & ~proven_out]
-            _mark(
-                f"witness div={div} ({int(np.sum(starts))} reps, "
-                f"{remaining.size} left)"
+    ref_idx = None
+    n_refs = Xm.shape[0]
+    if remaining.size * n_refs > _DIRECT_SWEEP_MAX:
+        # Compact the reference side: POSS-dilate the band queries'
+        # occupancy and keep only refs whose cell it reaches.
+        band_q = np.asarray(
+            _gather_band_queries(Xf, jnp.asarray(_pow2_pad(remaining)),
+                                 plan=plan)
+        )[: remaining.size]
+        plan2 = plan_dilate_gate(None, None, r, cell_div=16,
+                                 bbox=(band_q.min(axis=0), band_q.max(axis=0)))
+        if plan2 is None:
+            plan2 = plan_dilate_gate(
+                None, None, r,
+                bbox=(band_q.min(axis=0), band_q.max(axis=0)),
             )
-            if remaining.size == 0:
+        if plan2 is not None:
+            occ2 = pack_occupancy(band_q, plan2, dt)
+            poss2 = _dilate_poss_only(jnp.asarray(occ2), plan=plan2)
+            keep = np.asarray(_filter_refs_packed(Xm, H0, poss2, plan=plan2))
+            ref_idx = np.nonzero(keep)[0].astype(np.int32)
+            _mark(
+                f"band-ref compaction ({ref_idx.size}/{n_refs} refs kept)"
+            )
+            if ref_idx.size == 0:
+                # no ref can be within radius of any band query
                 return out
 
-    d2 = _chunked_min_d2(Xf, remaining, Xm, H0, None)
+    d2 = _chunked_min_d2(
+        Xf, remaining, Xm, H0,
+        _pow2_pad(ref_idx) if ref_idx is not None else None,
+    )
     out[remaining] = d2 <= r2
-    _mark(f"exact sweep ({remaining.size} queries x full cloud)")
+    _mark(
+        f"exact sweep ({remaining.size} queries x "
+        f"{ref_idx.size if ref_idx is not None else n_refs} refs)"
+    )
     return out

@@ -160,3 +160,30 @@ def test_pipeline_dilate_matches_brute_gate(bunny):
     np.testing.assert_allclose(
         np.asarray(res_b.H), np.asarray(res_d.H), rtol=0, atol=0
     )
+
+
+def test_band_ref_compaction_exact(rng, monkeypatch):
+    """Force the band-ref compaction path (normally only at >1e13 band
+    pairs): the retained-ref sweep must still be bit-exact vs brute."""
+    from simpleicp_tpu.ops import dilate_gate
+
+    monkeypatch.setattr(dilate_gate, "_DIRECT_SWEEP_MAX", 0)
+    r = 0.13
+    Xf = rng.uniform(-1, 1, size=(4000, 3))
+    Xm = rng.uniform(-1, 1, size=(3000, 3)) + np.array([0.4, 0.0, 0.0])
+    np.testing.assert_array_equal(
+        _dilate_mask(Xf, Xm, r), _brute_mask(Xf, Xm, r)
+    )
+    # and with an initial transform
+    a = 0.2
+    H0 = np.eye(4)
+    H0[:3, :3] = [
+        [np.cos(a), -np.sin(a), 0],
+        [np.sin(a), np.cos(a), 0],
+        [0, 0, 1.0],
+    ]
+    H0[:3, 3] = [0.1, -0.05, 0.02]
+    Xm0 = Xm @ H0[:3, :3].T + H0[:3, 3]
+    np.testing.assert_array_equal(
+        _dilate_mask(Xf, Xm, r, H0=H0), _brute_mask(Xf, Xm0, r)
+    )
