@@ -20,12 +20,15 @@ _SO = os.path.join(_DIR, "libsimpleicp_native.so")
 _lib = None
 
 
+_SOURCES = ("xyz_parser.cpp", "pack_occupancy.cpp")
+
+
 def build() -> str:
     """Compile the native library in-place. Returns the .so path."""
-    src = os.path.join(_DIR, "xyz_parser.cpp")
+    srcs = [os.path.join(_DIR, s) for s in _SOURCES]
     cmd = [
-        "g++", "-O3", "-march=native", "-shared", "-fPIC",
-        "-o", _SO, src,
+        "g++", "-O3", "-march=native", "-ffp-contract=off", "-fopenmp",
+        "-shared", "-fPIC", "-o", _SO, *srcs,
     ]
     subprocess.run(cmd, check=True, capture_output=True)
     return _SO
@@ -35,9 +38,10 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(
-        os.path.join(_DIR, "xyz_parser.cpp")
-    ):
+    newest_src = max(
+        os.path.getmtime(os.path.join(_DIR, s)) for s in _SOURCES
+    )
+    if not os.path.exists(_SO) or os.path.getmtime(_SO) < newest_src:
         try:
             build()
         except (OSError, subprocess.CalledProcessError) as e:
@@ -51,8 +55,46 @@ def _load():
         ctypes.c_char_p,
         ctypes.c_int64,
     ]
+    i64 = ctypes.c_int64
+    for name, cfloat in (
+        ("pack_occupancy_f32", ctypes.c_float),
+        ("pack_occupancy_f64", ctypes.c_double),
+    ):
+        fn = getattr(lib, name)
+        fn.restype = None
+        fn.argtypes = [
+            ctypes.POINTER(cfloat), i64, ctypes.POINTER(cfloat), cfloat,
+            i64, i64, i64, i64, ctypes.POINTER(ctypes.c_uint32),
+        ]
     _lib = lib
     return lib
+
+
+def pack_occupancy_native(X, origin, inv_cell, dims, wz: int) -> "np.ndarray":
+    """Bin + OR-scatter the packed occupancy grid in one multithreaded
+    native pass (ops/dilate_gate.py's host packing step; numpy's
+    bitwise_or.at is a serial ufunc loop). X must be C-contiguous (n, 3)
+    float32 or float64; binning replicates the device arithmetic exactly
+    (see pack_occupancy.cpp)."""
+    lib = _load()
+    X = np.ascontiguousarray(X)
+    if X.dtype == np.float32:
+        fn, ct = lib.pack_occupancy_f32, ctypes.c_float
+    elif X.dtype == np.float64:
+        fn, ct = lib.pack_occupancy_f64, ctypes.c_double
+    else:
+        raise TypeError(f"unsupported dtype {X.dtype}")
+    origin = np.ascontiguousarray(origin, X.dtype)
+    grid = np.zeros(int(wz) * dims[0] * dims[1], np.uint32)
+    fn(
+        X.ctypes.data_as(ctypes.POINTER(ct)),
+        X.shape[0],
+        origin.ctypes.data_as(ctypes.POINTER(ct)),
+        ct(float(inv_cell)),
+        dims[0], dims[1], dims[2], int(wz),
+        grid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+    )
+    return grid
 
 
 def read_xyz_native(path: str, dtype=np.float64) -> np.ndarray:

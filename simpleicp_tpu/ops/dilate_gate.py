@@ -223,6 +223,15 @@ def pack_occupancy(Xm0: np.ndarray, plan: DilatePlan, dtype) -> np.ndarray:
     X = np.asarray(Xm0, dt)
     origin = np.asarray(plan.origin, dt)
     inv = dt.type(plan.inv_cell)
+    if dt in (np.float32, np.float64):
+        try:
+            from ..native import pack_occupancy_native
+
+            return pack_occupancy_native(
+                X, origin, plan.inv_cell, plan.dims, plan.wz
+            )
+        except ImportError:
+            pass  # no compiler: serial numpy fallback below
     k = np.floor((X - origin) * inv).astype(np.int64)
     np.clip(k, 0, np.asarray(plan.dims, np.int64) - 1, out=k)
     # layout (wz, nx, ny): the two LARGE dims are minor, so TPU (8, 128)
