@@ -102,3 +102,31 @@ def test_native_parser_if_built(tmp_path, rng):
     bad.write_text("1 2\n")
     with pytest.raises(XyzIOError):
         read_xyz_native(str(bad))
+
+
+def test_cli_gate_method_flag(tmp_path, capsys):
+    """--gate-method routes the overlap gate engine; 'dilate' must produce
+    the same registration as the default on a gated run."""
+    import numpy as np
+
+    from simpleicp_tpu.cli import main
+    from simpleicp_tpu.utils.xyz_io import read_xyz, write_xyz
+
+    rng = np.random.default_rng(3)
+    xy = rng.uniform(-2, 2, size=(1500, 2))
+    X1 = np.column_stack([xy, 0.3 * np.sin(2 * xy[:, 0])])
+    X2 = (X1 - np.array([0.03, -0.02, 0.01]))[:1200]
+    f1, f2 = tmp_path / "a.xyz", tmp_path / "b.xyz"
+    write_xyz(f1, X1)
+    write_xyz(f2, X2)
+
+    outs = {}
+    for gm in ("brute", "dilate"):
+        exp = tmp_path / f"out_{gm}.xyz"
+        rc = main([
+            "-f", str(f1), "-m", str(f2), "-o", "0.7",
+            "--gate-method", gm, "--export", str(exp), "--quiet",
+        ])
+        assert rc == 0
+        outs[gm] = read_xyz(exp)
+    np.testing.assert_array_equal(outs["brute"], outs["dilate"])
