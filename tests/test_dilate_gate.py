@@ -187,3 +187,19 @@ def test_band_ref_compaction_exact(rng, monkeypatch):
     np.testing.assert_array_equal(
         _dilate_mask(Xf, Xm, r, H0=H0), _brute_mask(Xf, Xm0, r)
     )
+
+
+def test_far_queries_clip_to_rejection(rng):
+    """Grid covers only the movable bbox; fixed points far outside it must
+    clip to the never-POSS border and classify as rejected, while the
+    overlapping subset still resolves exactly."""
+    r = 0.2
+    Xm = rng.uniform(0, 1, size=(2000, 3))
+    near = rng.uniform(-0.3, 1.3, size=(1500, 3))
+    far = rng.uniform(50, 80, size=(500, 3)) * rng.choice(
+        [-1, 1], size=(500, 3)
+    )
+    Xf = np.concatenate([near, far])
+    np.testing.assert_array_equal(
+        _dilate_mask(Xf, Xm, r), _brute_mask(Xf, Xm, r)
+    )
