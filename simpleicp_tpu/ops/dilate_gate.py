@@ -362,9 +362,24 @@ def classify_queries(Xf, Xm, H0, *, plan: DilatePlan):
 
     Returns (in_mask, band_mask) device arrays.
     """
+    import logging
+    import time
+
+    log = logging.getLogger(__name__)
+    t0 = time.perf_counter()
     Xm0 = np.asarray(_transform(Xm, H0))
+    t1 = time.perf_counter()
     occ = pack_occupancy(Xm0, plan, Xf.dtype)
-    return _classify_packed(Xf, jnp.asarray(occ), plan=plan)
+    t2 = time.perf_counter()
+    out = jax.block_until_ready(_classify_packed(Xf, jnp.asarray(occ), plan=plan))
+    t3 = time.perf_counter()
+    log.debug(
+        "dilate gate:   classify detail: fetch Xm0 %.2fs, pack %.2fs, "
+        "device classify %.2fs (n_words %d, stencils %d+%d)",
+        t1 - t0, t2 - t1, t3 - t2, plan.n_words,
+        len(plan.in_offsets), len(plan.poss_offsets),
+    )
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("plan",))
