@@ -179,17 +179,21 @@ def main():
         print(json.dumps({"check": name, "match": bool((got == want).all())}),
               flush=True)
 
-    # fused 8-iteration probes of the two structures
-    def eight(fn):
+    # fused N-iteration probes of the two structures (N=64: ~64x the
+    # per-match signal vs the +/-5 ms tunnel jitter)
+    def eight(fn, n_it=64):
         def run(q):
             def body(i, qq):
                 idx = fn(qq)
                 return qq + 1e-9 * idx[:, None].astype(jnp.float32)
-            return lax.fori_loop(0, 8, body, q)
+            return lax.fori_loop(0, n_it, body, q)
         return jax.jit(run)
 
-    timed("8x base rt=16384", eight(lambda q: nn_search(q, Xm, ref_tile=16384, query_tile=1024)[1]), Qs)
-    timed("8x transposed rt=65536", eight(lambda q: nn_transposed(q, Xm, ref_tile=65536, query_tile=1024)[1]), Qs)
+    timed("64x base rt=16384", eight(lambda q: nn_search(q, Xm, ref_tile=16384, query_tile=1024)[1]), Qs)
+    timed("64x base rt=65536", eight(lambda q: nn_search(q, Xm, ref_tile=65536, query_tile=1024)[1]), Qs)
+    timed("64x transposed rt=65536", eight(lambda q: nn_transposed(q, Xm, ref_tile=65536, query_tile=1024)[1]), Qs)
+    timed("64x onepass", eight(lambda q: nn_onepass(q, Xm)[1]), Qs)
+    timed("64x infpad rt=65536", eight(lambda q: nn_infpad(q, Xm, ref_tile=65536, query_tile=1024)[1]), Qs)
 
 
 if __name__ == "__main__":

@@ -543,9 +543,14 @@ def icp_register(
         if resolved == "dilate":
             from ..ops.dilate_gate import overlap_mask_dilate
 
+            # A host-resident input (the normal case: clouds loaded from
+            # disk) lets the gate pack occupancy from a host-side transform
+            # instead of fetching the device-transformed cloud through the
+            # tunnel (~seconds at 10M+ points).
             ext_sel_mask = jnp.asarray(
                 overlap_mask_dilate(
                     Xf, Xm, H0_dev, cfg.max_overlap_distance, plan,
+                    Xm_host=X_mov if isinstance(X_mov, np.ndarray) else None,
                 )
             )
         if (resolved, cap) != (cfg.gate_method, cfg.grid_cell_cap):

@@ -169,10 +169,14 @@ def plan_dilate_gate(
     origin = tuple(float(v) for v in (lo - border * cell))
 
     # Margin: covers f32 binning error (a point may sit outside its assigned
-    # cell by ~eps32 * |p - origin|) and f32 distance-check rounding. Always
+    # cell by ~eps32 * |p - origin|), f32 distance-check rounding, AND the
+    # host-vs-device transform discrepancy (classify_queries may bin a
+    # host-transformed copy of the movable cloud while the exact sweeps use
+    # the device-transformed one; both land within a few ulp of the same
+    # coordinates, so the positional error is O(eps32 * extent)). Always
     # shrinks IN and grows POSS -> band -> exact resolution.
     extent = float(np.max(hi - lo)) + 2 * border * cell
-    margin = 8.0 * np.finfo(np.float32).eps * extent + 1e-12
+    margin = 16.0 * np.finfo(np.float32).eps * extent + 1e-12
 
     r_in = (float(radius) - margin) / cell     # in cell units
     r_poss = (float(radius) + margin) / cell
@@ -356,9 +360,27 @@ def _transform(Xm, H0):
     return Xm @ H0[:3, :3].T + H0[:3, 3]
 
 
-def classify_queries(Xf, Xm, H0, *, plan: DilatePlan):
-    """Full classify: fetch the device-transformed movable cloud once, pack
-    its occupancy on the host, run the packed dilation classify on device.
+@jax.jit
+def _transform_cols(Xm, H0):
+    """Transformed movable cloud as three FLAT arrays: a (n, 3) device->host
+    fetch through the tunnel runs far below line rate (minor-dim-3 layout),
+    while flat 1-D fetches hit full bandwidth. Used only when no host copy
+    of the cloud exists."""
+    Xm0 = Xm @ H0[:3, :3].T + H0[:3, 3]
+    return Xm0[:, 0], Xm0[:, 1], Xm0[:, 2]
+
+
+def classify_queries(Xf, Xm, H0, *, plan: DilatePlan,
+                     Xm_host: Optional[np.ndarray] = None):
+    """Full classify: obtain the transformed movable cloud on the host, pack
+    its occupancy, run the packed dilation classify on device.
+
+    When `Xm_host` (the UNtransformed movable cloud as a host array — the
+    natural case for clouds loaded from disk) is given, the transform runs
+    host-side in f64 and no device fetch happens at all; otherwise the
+    device-transformed cloud is fetched once as three flat column arrays.
+    Host-vs-device transforms agree to a few ulp, which the plan margin
+    absorbs (see plan_dilate_gate).
 
     Returns (in_mask, band_mask) device arrays.
     """
@@ -367,7 +389,12 @@ def classify_queries(Xf, Xm, H0, *, plan: DilatePlan):
 
     log = logging.getLogger(__name__)
     t0 = time.perf_counter()
-    Xm0 = np.asarray(_transform(Xm, H0))
+    if Xm_host is not None:
+        H0_np = np.asarray(H0, np.float64)
+        Xm0 = np.asarray(Xm_host, np.float64) @ H0_np[:3, :3].T + H0_np[:3, 3]
+    else:
+        cols = _transform_cols(Xm, H0)
+        Xm0 = np.stack([np.asarray(c) for c in cols], axis=1)
     t1 = time.perf_counter()
     occ = pack_occupancy(Xm0, plan, Xf.dtype)
     t2 = time.perf_counter()
@@ -484,6 +511,8 @@ def overlap_mask_dilate(
     H0,
     radius: float,
     plan: DilatePlan,
+    *,
+    Xm_host: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Full gate: classify on device, resolve the band exactly, assemble the
     final selection mask (host bool array, == the exact `min_dist <= radius`
@@ -520,7 +549,8 @@ def overlap_mask_dilate(
         log.debug("dilate gate: %s %.2fs", label, t1 - t0)
         t0 = t1
 
-    in_mask, band_mask = classify_queries(Xf, Xm, H0, plan=plan)
+    in_mask, band_mask = classify_queries(Xf, Xm, H0, plan=plan,
+                                          Xm_host=Xm_host)
     band_np = np.asarray(band_mask)
     out = np.asarray(in_mask).copy()
     band_idx = np.nonzero(band_np)[0].astype(np.int32)

@@ -86,14 +86,36 @@ def nn_search(queries: jnp.ndarray, refs: jnp.ndarray, *, ref_tile: int = 4096,
     n_chunks = queries_p.shape[0] // query_tile
     query_chunks = queries_p.reshape(n_chunks, query_tile, 3)
 
+    # Distance-block layout: for small query counts (the in-loop match
+    # shape, C ~ 1000) the TRANSPOSED (ref_tile, q) block — reducing over
+    # the MAJOR axis — measured 27% faster than (q, ref_tile) on the TPU
+    # (0.38 vs 0.52 ms/match at 1000 x 100k, scripts/bench_match_variants.py:
+    # the minor axis stays the 128-lane dimension while the reduction walks
+    # sublanes). Both layouts tie-break toward the lower reference index,
+    # so results are bit-identical.
+    transposed = n_q <= 2048
+
     def chunk_fn(Q):
+        if transposed:
+            Qx = Q[:, 0][None, :]
+            Qy = Q[:, 1][None, :]
+            Qz = Q[:, 2][None, :]
+
         def body(carry, xs):
             best_d, best_i = carry
             R, valid, base = xs
-            d2 = _dist2_block(Q, R)
-            d2 = jnp.where(valid[None, :], d2, _BIG)
-            tile_min = jnp.min(d2, axis=1)
-            tile_arg = jnp.argmin(d2, axis=1).astype(jnp.int32) + base
+            if transposed:
+                d2 = (R[:, 0:1] - Qx) ** 2
+                d2 += (R[:, 1:2] - Qy) ** 2
+                d2 += (R[:, 2:3] - Qz) ** 2          # (t, q)
+                d2 = jnp.where(valid[:, None], d2, _BIG)
+                tile_min = jnp.min(d2, axis=0)
+                tile_arg = jnp.argmin(d2, axis=0).astype(jnp.int32) + base
+            else:
+                d2 = _dist2_block(Q, R)              # (q, t)
+                d2 = jnp.where(valid[None, :], d2, _BIG)
+                tile_min = jnp.min(d2, axis=1)
+                tile_arg = jnp.argmin(d2, axis=1).astype(jnp.int32) + base
             take = tile_min < best_d
             return (
                 jnp.where(take, tile_min, best_d),
@@ -110,6 +132,17 @@ def nn_search(queries: jnp.ndarray, refs: jnp.ndarray, *, ref_tile: int = 4096,
 
     d2, idx = lax.map(chunk_fn, query_chunks)
     return d2.reshape(-1)[:n_q], idx.reshape(-1)[:n_q]
+
+
+# One-pass kNN budget: when the full (queries x refs) distance matrix fits
+# this many elements (2^27 f32 = 536 MB), a single fused
+# distance->lax.top_k program replaces the tile scan. Measured on the TPU
+# at the normals-stage shape (1000 x 100k): 1.7 ms vs 8.1 ms for the
+# 65536-row tile scan (scripts/bench_knn_variants.py) — XLA fuses the
+# distance compute into top_k's pass, while the scan materializes per-tile
+# blocks and pays one sort-based merge per step. Results are bit-identical
+# (both tie-break toward the lower reference index).
+_ONEPASS_ELEMS = 1 << 27
 
 
 @functools.partial(
@@ -137,6 +170,13 @@ def knn_search(queries: jnp.ndarray, refs: jnp.ndarray, k: int, *, ref_tile: int
     n_q, n_r = queries.shape[0], refs.shape[0]
     if k > n_r:
         raise ValueError(f"k={k} exceeds number of reference points {n_r}")
+
+    if not approx and n_q * n_r <= _ONEPASS_ELEMS:
+        d2 = _dist2_block(queries, refs)
+        if ref_mask is not None:
+            d2 = jnp.where(ref_mask[None, :], d2, _BIG)
+        neg_top, idx = lax.top_k(-d2, k)
+        return -neg_top, idx.astype(jnp.int32)
     ref_tile = min(ref_tile, max(k, 8, n_r))
     query_tile = min(query_tile, max(8, n_q))
     dtype = queries.dtype

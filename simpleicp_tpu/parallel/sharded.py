@@ -482,7 +482,8 @@ def icp_register_sharded(
 
             resolved = "dilate"
             ext_sel_mask = overlap_mask_dilate(
-                Xf_d, Xm_d, H0_dev, cfg.max_overlap_distance, plan
+                Xf_d, Xm_d, H0_dev, cfg.max_overlap_distance, plan,
+                Xm_host=X_mov if isinstance(X_mov, np.ndarray) else None,
             )
         elif resolved == "auto":
             resolved = "grid" if nf_ * nm_ > 2**41 else "brute"

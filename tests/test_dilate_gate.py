@@ -26,7 +26,7 @@ def _brute_mask(Xf, Xm0, r):
     return d2 <= r * r
 
 
-def _dilate_mask(Xf, Xm, r, H0=None):
+def _dilate_mask(Xf, Xm, r, H0=None, host_copy=False):
     if H0 is None:
         H0 = np.eye(4)
     plan = plan_dilate_gate(
@@ -34,7 +34,8 @@ def _dilate_mask(Xf, Xm, r, H0=None):
     )
     assert plan is not None
     return overlap_mask_dilate(
-        jnp.asarray(Xf), jnp.asarray(Xm), jnp.asarray(H0), r, plan
+        jnp.asarray(Xf), jnp.asarray(Xm), jnp.asarray(H0), r, plan,
+        Xm_host=np.asarray(Xm) if host_copy else None,
     )
 
 
@@ -117,6 +118,39 @@ def test_initial_transform_applied(rng):
     Xm0 = Xm @ H0[:3, :3].T + H0[:3, 3]
     np.testing.assert_array_equal(
         _dilate_mask(Xf, Xm, r, H0=H0), _brute_mask(Xf, Xm0, r)
+    )
+
+
+def test_host_copy_pack_matches_brute(rng):
+    """The fetch-free path (occupancy packed from a HOST-side transform of
+    the untransformed cloud) must stay bit-exact vs brute, including under
+    an initial transform where host f64 and device transforms differ by a
+    few ulp — the plan margin routes those cases into the band."""
+    r = 0.15
+    Xf = rng.uniform(-1, 1, size=(2000, 3))
+    Xm = rng.uniform(-1, 1, size=(2000, 3))
+    a = 0.21
+    H0 = np.eye(4)
+    H0[:3, :3] = [
+        [np.cos(a), 0, np.sin(a)],
+        [0, 1.0, 0],
+        [-np.sin(a), 0, np.cos(a)],
+    ]
+    H0[:3, 3] = [0.11, 0.02, -0.3]
+    Xm0_dev = np.asarray(
+        jnp.asarray(Xm) @ jnp.asarray(H0)[:3, :3].T + jnp.asarray(H0)[:3, 3]
+    )
+    np.testing.assert_array_equal(
+        _dilate_mask(Xf, Xm, r, H0=H0, host_copy=True),
+        _brute_mask(Xf, Xm0_dev, r),
+    )
+    # grid-aligned coordinates: boundary binning flips between the host and
+    # device transforms are the adversarial case
+    Xmq = np.round(rng.uniform(-1, 1, size=(2000, 3)) * 10) / 10
+    Xfq = np.round(rng.uniform(-1, 1, size=(2000, 3)) * 10) / 10
+    np.testing.assert_array_equal(
+        _dilate_mask(Xfq, Xmq, 0.2, host_copy=True),
+        _brute_mask(Xfq, Xmq, 0.2),
     )
 
 

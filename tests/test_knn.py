@@ -79,3 +79,21 @@ def test_knn_approx_flag(rng):
     # CPU backend: approx_min_k falls back to exact
     np.testing.assert_array_equal(np.asarray(idx), ii)
     np.testing.assert_allclose(np.asarray(d2), dd**2, rtol=1e-10)
+
+
+def test_knn_onepass_equals_tile_scan(rng, monkeypatch):
+    """The fused one-pass kNN (small query x ref products) and the tile
+    scan must agree exactly — including index order on duplicate points
+    (both tie-break toward the lower reference index)."""
+    import simpleicp_tpu.ops.knn as knn_mod
+
+    refs = rng.normal(size=(3000, 3))
+    refs[100:110] = refs[50:60]  # duplicates -> distance ties
+    queries = np.concatenate([rng.normal(size=(200, 3)), refs[45:65]])
+    d_one, i_one = knn_search(queries, refs, 5, ref_tile=512)
+    monkeypatch.setattr(knn_mod, "_ONEPASS_ELEMS", 0)
+    knn_mod.knn_search.clear_cache()
+    d_scan, i_scan = knn_search(queries, refs, 5, ref_tile=512)
+    knn_mod.knn_search.clear_cache()
+    np.testing.assert_array_equal(np.asarray(d_one), np.asarray(d_scan))
+    np.testing.assert_array_equal(np.asarray(i_one), np.asarray(i_scan))
