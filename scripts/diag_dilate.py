@@ -70,3 +70,31 @@ for i in range(3):
     t(f"classify warm {i}", lambda: classify_queries(Xf, Xm, H0, plan=plan))
 
 t("full gate warm", lambda: overlap_mask_dilate(Xf, Xm, H0, RADIUS, plan))
+
+# --- device-classify ROLL_BATCH sweep (pack once, reuse occ) -------------
+from simpleicp_tpu.ops import dilate_gate as dg
+
+Xm0 = np.stack([np.asarray(c) for c in dg._transform_cols(Xm, H0)], axis=1)
+occ_dev = jnp.asarray(dg.pack_occupancy(Xm0, plan, np.float32))
+for rb in (8, 16, 32):
+    dg._ROLL_BATCH = rb
+    dg._classify_packed.clear_cache()
+    t(f"device classify rb={rb} cold", lambda: dg._classify_packed(Xf, occ_dev, plan=plan))
+    for i in range(2):
+        t(f"device classify rb={rb} warm {i}", lambda: dg._classify_packed(Xf, occ_dev, plan=plan))
+dg._ROLL_BATCH = 8
+dg._classify_packed.clear_cache()
+
+# --- band exact-sweep layout comparison ----------------------------------
+from simpleicp_tpu.ops.knn import min_dist_sq
+
+in_m, band_m = dg._classify_packed(Xf, occ_dev, plan=plan)
+band_idx = np.nonzero(np.asarray(band_m))[0].astype(np.int32)
+print(f"band queries: {band_idx.size}", flush=True)
+Q = jnp.asarray(np.asarray(Xf)[dg._pow2_pad(band_idx)])
+for lay in ("qt", "tq"):
+    t(f"band sweep layout={lay} cold",
+      lambda: min_dist_sq(Q, Xm, ref_tile=65536, layout=lay))
+    for i in range(2):
+        t(f"band sweep layout={lay} warm {i}",
+          lambda: min_dist_sq(Q, Xm, ref_tile=65536, layout=lay))

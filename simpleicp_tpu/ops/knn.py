@@ -53,9 +53,10 @@ def _dist2_block(Q: jnp.ndarray, R: jnp.ndarray) -> jnp.ndarray:
     return d2
 
 
-@functools.partial(jax.jit, static_argnames=("ref_tile", "query_tile"))
+@functools.partial(jax.jit, static_argnames=("ref_tile", "query_tile", "layout"))
 def nn_search(queries: jnp.ndarray, refs: jnp.ndarray, *, ref_tile: int = 4096,
-              query_tile: int = 2048, ref_mask: jnp.ndarray | None = None):
+              query_tile: int = 2048, ref_mask: jnp.ndarray | None = None,
+              layout: str = "auto"):
     """Single nearest neighbor of each query among refs.
 
     Args:
@@ -63,6 +64,9 @@ def nn_search(queries: jnp.ndarray, refs: jnp.ndarray, *, ref_tile: int = 4096,
         refs: (r, 3) reference points.
         ref_mask: optional (r,) bool — invalid reference rows are never
             selected (used for padded shards in the distributed path).
+        layout: distance-block orientation — "qt" (query-major), "tq"
+            (ref-tile-major, reduce over the major axis), or "auto" (pick
+            by query count; see below). Results are bit-identical.
 
     Returns:
         (dist2, idx): exact squared distance to, and index of, the nearest
@@ -93,7 +97,7 @@ def nn_search(queries: jnp.ndarray, refs: jnp.ndarray, *, ref_tile: int = 4096,
     # the minor axis stays the 128-lane dimension while the reduction walks
     # sublanes). Both layouts tie-break toward the lower reference index,
     # so results are bit-identical.
-    transposed = n_q <= 2048
+    transposed = n_q <= 2048 if layout == "auto" else layout == "tq"
 
     def chunk_fn(Q):
         if transposed:
