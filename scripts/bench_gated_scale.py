@@ -28,13 +28,15 @@ DATA = "/root/reference/data"
 
 
 def tile_cloud(X, n_target: int, spacing: float):
-    import jax.numpy as jnp
-
+    """Tile on the HOST (numpy): clouds in the gated scenario are
+    host-origin (loaded from disk in the real user flow), which lets the
+    dilate gate pack occupancy from the host copy with no device fetch."""
+    X = np.asarray(X, np.float32)
     n = X.shape[0]
     times = -(-n_target // n)
     k = math.ceil(times ** (1.0 / 3.0))
-    ii = jnp.arange(k * k * k, dtype=X.dtype)[:times]
-    off = jnp.stack([ii % k, (ii // k) % k, ii // (k * k)], axis=1) * spacing
+    ii = np.arange(k * k * k, dtype=np.float32)[:times]
+    off = np.stack([ii % k, (ii // k) % k, ii // (k * k)], axis=1) * spacing
     tiled = (X[None, :, :] + off[:, None, :]).reshape(-1, 3)
     return tiled[:n_target]
 
@@ -63,7 +65,6 @@ def main():
         n = int(float(size_s))
         Xf = tile_cloud(X_fix0, n, spacing)
         Xm = tile_cloud(X_mov0, n, spacing)
-        jax.block_until_ready((Xf, Xm))
         cfg = IcpConfig(max_overlap_distance=args.radius)
 
         t0 = time.perf_counter()
@@ -74,8 +75,7 @@ def main():
 
         times = []
         for i in range(args.repeats):
-            Xm_i = Xm + jnp.float32(1e-7 * (i + 1))
-            jax.block_until_ready(Xm_i)
+            Xm_i = Xm + np.float32(1e-7 * (i + 1))
             t0 = time.perf_counter()
             H = np.asarray(icp_register(Xf, Xm_i, cfg).H)
             times.append(time.perf_counter() - t0)

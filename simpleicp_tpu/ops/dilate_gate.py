@@ -453,7 +453,9 @@ def _min_d2_subset(Xf, q_idx, Xm, H0, ref_idx):
     Xm0 = Xm @ H0[:3, :3].T + H0[:3, 3]
     Q = Xf[jnp.clip(q_idx, 0, Xf.shape[0] - 1)]
     R = Xm0[jnp.clip(ref_idx, 0, Xm.shape[0] - 1)]
-    return min_dist_sq(Q, R, ref_tile=65536)
+    # tq layout: measured 26% faster than qt at band-sweep shapes
+    # (262144 x 12.5M: 10.7 vs 14.4 s, scripts/diag_dilate.py)
+    return min_dist_sq(Q, R, ref_tile=65536, layout="tq")
 
 
 @jax.jit
@@ -462,7 +464,7 @@ def _min_d2_full(Xf, q_idx, Xm, H0):
 
     Xm0 = Xm @ H0[:3, :3].T + H0[:3, 3]
     Q = Xf[jnp.clip(q_idx, 0, Xf.shape[0] - 1)]
-    return min_dist_sq(Q, Xm0, ref_tile=65536)
+    return min_dist_sq(Q, Xm0, ref_tile=65536, layout="tq")
 
 
 def _pow2_pad(idx: np.ndarray) -> np.ndarray:
