@@ -251,6 +251,40 @@ def pack_occupancy(Xm0: np.ndarray, plan: DilatePlan, dtype) -> np.ndarray:
     return grid
 
 
+@functools.partial(jax.jit, static_argnames=("plan",))
+def _pack_occupancy_device(P, *, plan: DilatePlan):
+    """Device: occupancy pack of already-transformed points — the
+    accelerator replacement for the host `pack_occupancy` path, so no
+    cloud bytes ever cross the tunnel (measured: fetching the transformed
+    cloud cost 6-9 s and the packed-grid upload ~6 s inside the classify
+    flow at 12.5M points; scripts/diag_dilate.py).
+
+    No scatter-OR primitive exists, but one isn't needed: sort the
+    (word, bit) pairs (2-key lexicographic `lax.sort`), zero out adjacent
+    duplicates, and the surviving values per word are DISTINCT powers of
+    two — their scatter-ADD is exactly the bitwise OR. Duplicates are
+    routed out of bounds and dropped.
+    """
+    dims = plan.dims
+    k = _cells_of(
+        P, jnp.asarray(plan.origin, P.dtype),
+        jnp.asarray(plan.inv_cell, P.dtype), dims,
+    )
+    widx = (
+        (k[:, 2] >> 5) * (dims[0] * dims[1])
+        + k[:, 0] * dims[1] + k[:, 1]
+    )
+    bit = k[:, 2] & 31
+    ws, bs = lax.sort((widx, bit), num_keys=2)
+    dup = jnp.concatenate([
+        jnp.zeros((1,), bool), (ws[1:] == ws[:-1]) & (bs[1:] == bs[:-1]),
+    ])
+    val = jnp.where(dup, jnp.uint32(0), jnp.uint32(1) << bs.astype(jnp.uint32))
+    tgt = jnp.where(dup, jnp.int32(plan.n_words), ws)
+    zero = jnp.zeros(plan.n_words, jnp.uint32)
+    return zero.at[tgt].add(val, mode="drop")
+
+
 def _zshift_up(occ, k):
     """Packed occupancy shifted +k cells along z (k static, 1 <= k < 32):
     in-word bit shift + carry bits from the -z neighbor word. The first
@@ -370,17 +404,23 @@ def _transform_cols(Xm, H0):
     return Xm0[:, 0], Xm0[:, 1], Xm0[:, 2]
 
 
+# Pack the occupancy on device (transform + sort + scatter-add, zero tunnel
+# traffic). The host path (fetch/transform + pack_occupancy + 569 MB upload)
+# remains as a measured fallback; flip for A/B diagnostics.
+_DEVICE_PACK = True
+
+
 def classify_queries(Xf, Xm, H0, *, plan: DilatePlan,
                      Xm_host: Optional[np.ndarray] = None):
-    """Full classify: obtain the transformed movable cloud on the host, pack
-    its occupancy, run the packed dilation classify on device.
+    """Full classify: pack the transformed movable cloud's occupancy and run
+    the packed dilation classify, all on device (`_pack_occupancy_device`) —
+    no cloud fetch, no grid upload.
 
-    When `Xm_host` (the UNtransformed movable cloud as a host array — the
-    natural case for clouds loaded from disk) is given, the transform runs
-    host-side in f64 and no device fetch happens at all; otherwise the
-    device-transformed cloud is fetched once as three flat column arrays.
-    Host-vs-device transforms agree to a few ulp, which the plan margin
-    absorbs (see plan_dilate_gate).
+    The `_DEVICE_PACK = False` fallback packs on the host instead: from
+    `Xm_host` (the UNtransformed movable cloud as a host array) via an f64
+    host transform when given, else by fetching the device-transformed
+    cloud as three flat columns. Host-vs-device packs agree up to a few-ulp
+    binning slop that the plan margin absorbs (see plan_dilate_gate).
 
     Returns (in_mask, band_mask) device arrays.
     """
@@ -389,20 +429,25 @@ def classify_queries(Xf, Xm, H0, *, plan: DilatePlan,
 
     log = logging.getLogger(__name__)
     t0 = time.perf_counter()
-    if Xm_host is not None:
-        H0_np = np.asarray(H0, np.float64)
-        Xm0 = np.asarray(Xm_host, np.float64) @ H0_np[:3, :3].T + H0_np[:3, 3]
+    if _DEVICE_PACK:
+        occ_dev = _pack_occupancy_device(_transform(Xm, H0), plan=plan)
+        t1 = t2 = time.perf_counter()
     else:
-        cols = _transform_cols(Xm, H0)
-        Xm0 = np.stack([np.asarray(c) for c in cols], axis=1)
-    t1 = time.perf_counter()
-    occ = pack_occupancy(Xm0, plan, Xf.dtype)
-    t2 = time.perf_counter()
-    out = jax.block_until_ready(_classify_packed(Xf, jnp.asarray(occ), plan=plan))
+        if Xm_host is not None:
+            H0_np = np.asarray(H0, np.float64)
+            Xm0 = (np.asarray(Xm_host, np.float64) @ H0_np[:3, :3].T
+                   + H0_np[:3, 3])
+        else:
+            cols = _transform_cols(Xm, H0)
+            Xm0 = np.stack([np.asarray(c) for c in cols], axis=1)
+        t1 = time.perf_counter()
+        occ_dev = jnp.asarray(pack_occupancy(Xm0, plan, Xf.dtype))
+        t2 = time.perf_counter()
+    out = jax.block_until_ready(_classify_packed(Xf, occ_dev, plan=plan))
     t3 = time.perf_counter()
     log.debug(
-        "dilate gate:   classify detail: fetch Xm0 %.2fs, pack %.2fs, "
-        "device classify %.2fs (n_words %d, stencils %d+%d)",
+        "dilate gate:   classify detail: obtain Xm0 %.2fs, pack %.2fs, "
+        "device pack+classify %.2fs (n_words %d, stencils %d+%d)",
         t1 - t0, t2 - t1, t3 - t2, plan.n_words,
         len(plan.in_offsets), len(plan.poss_offsets),
     )

@@ -121,11 +121,14 @@ def test_initial_transform_applied(rng):
     )
 
 
-def test_host_copy_pack_matches_brute(rng):
-    """The fetch-free path (occupancy packed from a HOST-side transform of
-    the untransformed cloud) must stay bit-exact vs brute, including under
-    an initial transform where host f64 and device transforms differ by a
-    few ulp — the plan margin routes those cases into the band."""
+def test_host_copy_pack_matches_brute(rng, monkeypatch):
+    """The host fallback path (occupancy packed from a HOST-side transform
+    of the untransformed cloud) must stay bit-exact vs brute, including
+    under an initial transform where host f64 and device transforms differ
+    by a few ulp — the plan margin routes those cases into the band."""
+    from simpleicp_tpu.ops import dilate_gate as dg
+
+    monkeypatch.setattr(dg, "_DEVICE_PACK", False)
     r = 0.15
     Xf = rng.uniform(-1, 1, size=(2000, 3))
     Xm = rng.uniform(-1, 1, size=(2000, 3))
@@ -152,6 +155,24 @@ def test_host_copy_pack_matches_brute(rng):
         _dilate_mask(Xfq, Xmq, 0.2, host_copy=True),
         _brute_mask(Xfq, Xmq, 0.2),
     )
+
+
+def test_device_pack_equals_host_pack(rng):
+    """`_pack_occupancy_device` (sort + dedup + scatter-add-as-OR) must
+    reproduce the host `pack_occupancy` word grid exactly when both bin the
+    SAME already-transformed points in the same dtype — including duplicate
+    points (the dedup path) and points on exact cell boundaries."""
+    from simpleicp_tpu.ops import dilate_gate as dg
+
+    pts = rng.uniform(-1, 1, size=(5000, 3)).astype(np.float32)
+    pts[1000:2000] = pts[:1000]  # exact duplicates
+    pts[2000:3000] = np.round(pts[2000:3000] * 20) / 20  # boundary-aligned
+    for r in (0.1, 0.37):
+        plan = plan_dilate_gate(None, pts, r)
+        assert plan is not None
+        host = dg.pack_occupancy(pts, plan, np.float32)
+        dev = np.asarray(dg._pack_occupancy_device(jnp.asarray(pts), plan=plan))
+        np.testing.assert_array_equal(dev, host)
 
 
 def test_band_is_thin_for_dense_clouds(rng):
