@@ -455,27 +455,33 @@ def classify_queries(Xf, Xm, H0, *, plan: DilatePlan,
 
 
 @functools.partial(jax.jit, static_argnames=("plan",))
-def _dilate_poss_only(occ_words, *, plan: DilatePlan):
-    """Device: just the POSS dilation of a packed occupancy (the band-ref
-    compaction needs no IN grid)."""
-    occ = occ_words.reshape(plan.wz, plan.dims[0], plan.dims[1])
-    return _dilate_packed(occ, plan.poss_offsets)
+def _compact_refs_device(Xf, band_idx, Xm, H0, *, plan: DilatePlan):
+    """Device, one program, on the CLASSIFY lattice: mark each (transformed)
+    movable point that could be within `radius` of ANY band query — pack
+    the band queries' own occupancy, POSS-dilate it, bit-test each ref's
+    cell. Refs outside the dilation are provably farther than the radius
+    from every band query (crit_poss lower-bounds cell-to-cell point
+    distance) and can be dropped from the band sweep.
 
+    Reusing the classify plan (instead of planning a fresh lattice over the
+    band bbox) keeps everything on device with no new grid geometry: the
+    measured fresh-lattice version spent ~10 s/call at the 12.5M scale on
+    host packing + grid upload; this one is ~2 s (one POSS dilation).
 
-@functools.partial(jax.jit, static_argnames=("plan",))
-def _gather_band_queries(Xf, band_idx, *, plan: DilatePlan):
-    del plan  # shape-only salt is unnecessary; kept for call symmetry
-    return Xf[jnp.clip(band_idx, 0, Xf.shape[0] - 1)]
-
-
-@functools.partial(jax.jit, static_argnames=("plan",))
-def _filter_refs_packed(Xm, H0, poss_words, *, plan: DilatePlan):
-    """Device: mark each (transformed) movable point whose cell the band
-    POSS bitmap reaches — refs outside it are provably farther than the
-    radius from EVERY band query (crit_poss lower-bounds cell-to-cell point
-    distance) and can be dropped from the band sweep."""
-    Xm0 = Xm @ H0[:3, :3].T + H0[:3, 3]
+    Band queries can sit outside the grid (it covers only the movable
+    cloud); `_cells_of` clamps them to the border. Clamping moves the
+    query's cell TOWARD any in-grid ref cell along each axis, and
+    crit_poss is monotone in per-axis |offset|, so the filter stays
+    conservative. `band_idx` is pow2-padded with index 0 — a real query,
+    so padding only keeps a few extra refs near Xf[0].
+    """
+    band_q = Xf[jnp.clip(band_idx, 0, Xf.shape[0] - 1)]
+    occ_b = _pack_occupancy_device(band_q, plan=plan)
     dims = plan.dims
+    poss_b = _dilate_packed(
+        occ_b.reshape(plan.wz, dims[0], dims[1]), plan.poss_offsets
+    )
+    Xm0 = Xm @ H0[:3, :3].T + H0[:3, 3]
     k = _cells_of(
         Xm0, jnp.asarray(plan.origin, Xm.dtype),
         jnp.asarray(plan.inv_cell, Xm.dtype), dims,
@@ -485,7 +491,7 @@ def _filter_refs_packed(Xm, H0, poss_words, *, plan: DilatePlan):
         + k[:, 0] * dims[1] + k[:, 1]
     )
     bit = (k[:, 2] & 31).astype(jnp.uint32)
-    grid = poss_words.reshape(-1)
+    grid = poss_b.reshape(-1)
     return ((grid[widx] >> bit) & 1).astype(bool)
 
 
@@ -526,9 +532,11 @@ def _pow2_pad(idx: np.ndarray) -> np.ndarray:
 # roundtrip per extra chunk.
 _SWEEP_PAIR_BUDGET = 1 << 42
 # Band x cloud sizes up to this many pairs resolve with direct chunked
-# sweeps (~10 VPU-seconds); beyond it the witness decimation cascade cuts
-# the reference side down first.
-_DIRECT_SWEEP_MAX = 1 << 44
+# sweeps; beyond it the reference side is compacted first on the classify
+# lattice (_compact_refs_device). Crossover measured at 12.5M x 12.5M
+# (2.45e12 band pairs): direct sweep 6.9 s vs compaction ~2 s + 0.9 s
+# sweep on the 814k kept refs (masks identical).
+_DIRECT_SWEEP_MAX = 1 << 41
 
 
 def _chunked_min_d2(Xf, q_idx: np.ndarray, Xm, H0,
@@ -613,30 +621,21 @@ def overlap_mask_dilate(
     ref_idx = None
     n_refs = Xm.shape[0]
     if remaining.size * n_refs > _DIRECT_SWEEP_MAX:
-        # Compact the reference side: POSS-dilate the band queries'
-        # occupancy and keep only refs whose cell it reaches.
-        band_q = np.asarray(
-            _gather_band_queries(Xf, jnp.asarray(_pow2_pad(remaining)),
-                                 plan=plan)
-        )[: remaining.size]
-        plan2 = plan_dilate_gate(None, None, r, cell_div=16,
-                                 bbox=(band_q.min(axis=0), band_q.max(axis=0)))
-        if plan2 is None:
-            plan2 = plan_dilate_gate(
-                None, None, r,
-                bbox=(band_q.min(axis=0), band_q.max(axis=0)),
+        # Compact the reference side on the classify lattice: POSS-dilate
+        # the band queries' occupancy and keep only refs whose cell it
+        # reaches (one device program, see _compact_refs_device).
+        keep = np.asarray(
+            _compact_refs_device(
+                Xf, jnp.asarray(_pow2_pad(remaining)), Xm, H0, plan=plan
             )
-        if plan2 is not None:
-            occ2 = pack_occupancy(band_q, plan2, dt)
-            poss2 = _dilate_poss_only(jnp.asarray(occ2), plan=plan2)
-            keep = np.asarray(_filter_refs_packed(Xm, H0, poss2, plan=plan2))
-            ref_idx = np.nonzero(keep)[0].astype(np.int32)
-            _mark(
-                f"band-ref compaction ({ref_idx.size}/{n_refs} refs kept)"
-            )
-            if ref_idx.size == 0:
-                # no ref can be within radius of any band query
-                return out
+        )
+        ref_idx = np.nonzero(keep)[0].astype(np.int32)
+        _mark(
+            f"band-ref compaction ({ref_idx.size}/{n_refs} refs kept)"
+        )
+        if ref_idx.size == 0:
+            # no ref can be within radius of any band query
+            return out
 
     d2 = _chunked_min_d2(
         Xf, remaining, Xm, H0,
