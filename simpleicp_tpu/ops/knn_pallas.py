@@ -194,6 +194,126 @@ def knn_search_pallas(queries: jnp.ndarray, refs: jnp.ndarray, k: int, *,
     return d2[:n_q], idx[:n_q]
 
 
+def _match_transform_kernel(h_ref, q_ref, rx_ref, ry_ref, rz_ref,
+                            out_d_ref, out_i_ref, best_d, best_i,
+                            *, ref_tile: int):
+    """1-NN of each query among refs transformed in-VMEM by the rigid H
+    whose (3, 4) [R | t] block sits in SMEM. The ICP while_loop's match
+    step (reference rebuilds a KD-tree over the moved cloud every
+    iteration, /root/reference/python/simpleicp/corrpts.py:131-132) calls
+    this with the ORIGINAL movable planes: the transform costs ~12 VPU ops
+    per reference lane, so the moved cloud is never materialized in HBM."""
+    ri = pl.program_id(1)
+
+    @pl.when(ri == 0)
+    def _():
+        best_d[:] = jnp.full(best_d.shape, _BIG, best_d.dtype)
+        best_i[:] = jnp.zeros(best_i.shape, best_i.dtype)
+
+    x, y, z = rx_ref[:], ry_ref[:], rz_ref[:]
+    tx = h_ref[0, 0] * x + h_ref[0, 1] * y + h_ref[0, 2] * z + h_ref[0, 3]
+    ty = h_ref[1, 0] * x + h_ref[1, 1] * y + h_ref[1, 2] * z + h_ref[1, 3]
+    tz = h_ref[2, 0] * x + h_ref[2, 1] * y + h_ref[2, 2] * z + h_ref[2, 3]
+
+    Q = q_ref[:]  # (TQ, 3)
+    d2 = (Q[:, 0:1] - tx) ** 2
+    d2 += (Q[:, 1:2] - ty) ** 2
+    d2 += (Q[:, 2:3] - tz) ** 2
+
+    tile_min = jnp.min(d2, axis=1)
+    tile_arg = jnp.argmin(d2, axis=1).astype(jnp.int32) + ri * ref_tile
+    take = tile_min < best_d[:]
+    best_d[:] = jnp.where(take, tile_min, best_d[:])
+    best_i[:] = jnp.where(take, tile_arg, best_i[:])
+
+    @pl.when(ri == pl.num_programs(1) - 1)
+    def _():
+        out_d_ref[:] = best_d[:]
+        out_i_ref[:] = best_i[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ref_tile", "query_tile", "interpret")
+)
+def match_transform_pallas(queries: jnp.ndarray, ref_planes, H: jnp.ndarray,
+                           *, ref_tile: int = 2048, query_tile: int = 1024,
+                           interpret: bool = False):
+    """1-NN of `queries` among `apply_H(refs, H)` without materializing the
+    transformed cloud.
+
+    Args:
+        queries: (q, 3) fixed-side correspondence points.
+        ref_planes: (rx, ry, rz) coordinate planes of shape (1, n_pad) with
+            n_pad a multiple of ref_tile — build once per registration with
+            `pad_ref_planes` (padded lanes carry far-away coords so they
+            never win the argmin). Loop-invariant: XLA hoists the planes
+            out of the ICP while_loop.
+        H: (4, 4) or (3, 4) rigid transform applied to the refs in-kernel.
+
+    Returns:
+        (dist2, idx) with shapes (q,), (q,) int32 — squared distance to and
+        index of the nearest transformed reference.
+
+    Numerics: the in-kernel transform evaluates
+    `((h0*x + h1*y) + h2*z) + h3` per coordinate in f32; the lax path's
+    `apply_H` matmul may associate differently on TPU, so results agree to
+    f32 rounding (argmins can differ only for near-equidistant pairs).
+    """
+    n_q = queries.shape[0]
+    dtype = queries.dtype
+    q_pad = (-n_q) % query_tile
+    Q = jnp.pad(queries, ((0, q_pad), (0, 0)))
+    rx, ry, rz = ref_planes
+    n_pad = rx.shape[1]
+    assert n_pad % ref_tile == 0, "pad ref planes to a ref_tile multiple"
+    n_q_tiles = (n_q + q_pad) // query_tile
+    n_r_tiles = n_pad // ref_tile
+
+    plane_spec = pl.BlockSpec(
+        (1, ref_tile), lambda qi, ri: (0, ri), memory_space=pltpu.VMEM
+    )
+    d2, idx = pl.pallas_call(
+        functools.partial(_match_transform_kernel, ref_tile=ref_tile),
+        grid=(n_q_tiles, n_r_tiles),
+        in_specs=[
+            pl.BlockSpec((3, 4), lambda qi, ri: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((query_tile, 3), lambda qi, ri: (qi, 0),
+                         memory_space=pltpu.VMEM),
+            plane_spec, plane_spec, plane_spec,
+        ],
+        out_specs=[
+            pl.BlockSpec((query_tile,), lambda qi, ri: (qi,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((query_tile,), lambda qi, ri: (qi,),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_q_tiles * query_tile,), dtype),
+            jax.ShapeDtypeStruct((n_q_tiles * query_tile,), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((query_tile,), dtype),
+            pltpu.VMEM((query_tile,), jnp.int32),
+        ],
+        interpret=interpret,
+    )(H[:3, :4], Q, rx, ry, rz)
+    return d2.reshape(-1)[:n_q], idx.reshape(-1)[:n_q]
+
+
+def pad_ref_planes(refs: jnp.ndarray, ref_tile: int = 2048):
+    """(rx, ry, rz) coordinate planes of `refs` padded to a ref_tile
+    multiple with far-away coordinates (padded lanes always lose the
+    argmin; `_BIG`-scale coords keep (q - r)^2 finite in f32)."""
+    n_r = refs.shape[0]
+    r_pad = (-n_r) % ref_tile
+    far = jnp.asarray(1e15, refs.dtype)
+    R = jnp.pad(refs, ((0, r_pad), (0, 0)), constant_values=0.0)
+    valid = (jnp.arange(n_r + r_pad) < n_r)[:, None]
+    R = jnp.where(valid, R, far)
+    return R[:, 0][None, :], R[:, 1][None, :], R[:, 2][None, :]
+
+
 @functools.partial(
     jax.jit, static_argnames=("ref_tile", "query_tile", "interpret")
 )

@@ -82,3 +82,23 @@ def test_pallas_knn_ref_mask(rng):
     )
     dd, ii = cKDTree(r[mask]).query(q, k=5)
     np.testing.assert_array_equal(np.flatnonzero(mask)[ii], np.asarray(idx))
+
+
+def test_match_transform_pallas_vs_kdtree(rng):
+    """Fused transform+match kernel == KD-tree query of the moved cloud."""
+    from simpleicp_tpu.ops.knn_pallas import (
+        match_transform_pallas, pad_ref_planes,
+    )
+    from simpleicp_tpu.ops.transform import apply_H, rbp_to_H
+
+    q = rng.uniform(-5, 5, (1000, 3))
+    r = rng.uniform(-5, 5, (9100, 3))
+    H = np.asarray(rbp_to_H(jnp.asarray([0.03, -0.02, 0.1, 0.4, -0.2, 0.05])))
+    planes = pad_ref_planes(jnp.asarray(r), ref_tile=2048)
+    d2, idx = match_transform_pallas(
+        jnp.asarray(q), planes, jnp.asarray(H), ref_tile=2048, interpret=True
+    )
+    moved = np.asarray(apply_H(jnp.asarray(r), jnp.asarray(H)))
+    dd, ii = cKDTree(moved).query(q)
+    np.testing.assert_array_equal(np.asarray(idx), ii)
+    np.testing.assert_allclose(np.asarray(d2), dd**2, rtol=1e-10)
