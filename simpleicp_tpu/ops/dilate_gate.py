@@ -380,11 +380,15 @@ def _dilate_packed(occ, offsets):
     return _dilate_multi(occ, [offsets])[0]
 
 
-# Route dilations through the hand-scheduled Pallas stencil kernel on TPU
-# (ops/dilate_pallas.py: one halo'd VMEM read of the grid instead of ~200
-# HBM streams; bit-identical results). Auto-falls back to the lax path
-# when no VMEM block plan fits the geometry.
-_USE_PALLAS_DILATE = True
+# Route dilations through the hand-scheduled Pallas stencil kernel
+# (ops/dilate_pallas.py). Bit-validated on hardware across the production
+# geometries, but OFF by default: its per-entry dynamic rotates lose to
+# XLA's batched dynamic-slice streams at the 12.5M geometry (~3.0 s vs
+# 2.26 s), and the static-slice form that would win stalls the Mosaic
+# compiler (>25 min on the ~1600-entry production stencils). Kept as a
+# validated alternative + the record of a real Mosaic dynamic_rotate
+# negative-shift miscompile it uncovered (see dilate_pallas docstring).
+_USE_PALLAS_DILATE = False
 
 
 def _dilate_multi(occ, offsets_list):
