@@ -52,7 +52,9 @@ def main():
         jax.block_until_ready(
             X_mov + jnp.asarray(rng.uniform(-1e-7, 1e-7, (1, 3)), dtype)
         )
-        for _ in range(5)
+        for _ in range(9)  # median of 9: the ~32 ms tunnel roundtrip
+        # jitters by +/-10-15 ms run to run; more repeats stabilize the
+        # median against latency spikes
     ]
     times = []
     for X_mov_i in jitters:

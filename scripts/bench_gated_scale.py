@@ -73,17 +73,28 @@ def main():
         first = time.perf_counter() - t0
         assert int(res.error_code) == 0, f"error {int(res.error_code)} at n={n}"
 
+        # Timed repeats follow bench.py's methodology: inputs resident in
+        # HBM (the reference's "data already in RAM"), fresh perturbation
+        # each repeat, forced H readback. The one-time host->device upload
+        # is measured separately (isolated uploads run at 1.2-1.5 GB/s;
+        # interleaved with registration state they can stall far below
+        # that, which is a tunnel/runtime artifact, not algorithm time).
+        Xf_d = jax.block_until_ready(jnp.asarray(Xf, jnp.float32))
+        t0 = time.perf_counter()
+        Xm_d = jax.block_until_ready(jnp.asarray(Xm, jnp.float32))
+        upload = time.perf_counter() - t0
         times = []
         for i in range(args.repeats):
-            Xm_i = Xm + np.float32(1e-7 * (i + 1))
+            Xm_i = jax.block_until_ready(Xm_d + jnp.float32(1e-7 * (i + 1)))
             t0 = time.perf_counter()
-            H = np.asarray(icp_register(Xf, Xm_i, cfg).H)
+            H = np.asarray(icp_register(Xf_d, Xm_i, cfg).H)
             times.append(time.perf_counter() - t0)
         t = float(np.median(times))
         rows.append({
             "n_points_per_cloud": n,
             "pairs": float(n) * n,
             "gated_seconds": round(t, 4),
+            "upload_seconds_per_cloud": round(upload, 2),
             "first_run_seconds_incl_compile": round(first, 2),
             "iterations": int(res.n_iterations),
             "converged": bool(res.converged),

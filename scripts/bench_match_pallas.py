@@ -63,7 +63,7 @@ def main():
     for rt in (16384, 32768, 65536):
         timed(f"64x lax rt={rt}", chain_lax(rt), Qs)
 
-    for rt in (2048, 8192, 32768):
+    for rt in (1024, 2048, 4096):
         def run_pallas(q, rt=rt):
             planes = pad_ref_planes(Xm, ref_tile=rt)
 

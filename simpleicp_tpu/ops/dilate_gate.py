@@ -536,6 +536,17 @@ def _compact_refs_device(Xf, band_idx, Xm, H0, *, plan: DilatePlan):
     return ((grid[widx] >> bit) & 1).astype(bool)
 
 
+@functools.partial(jax.jit, static_argnames=("axis",))
+def _gather_query_coord(Xf, idx, *, axis: int):
+    return Xf[jnp.clip(idx, 0, Xf.shape[0] - 1), axis]
+
+
+@functools.partial(jax.jit, static_argnames=("axis",))
+def _gather_ref_coord(Xm, H0, idx, *, axis: int):
+    Xm0 = Xm @ H0[:3, :3].T + H0[:3, 3]
+    return Xm0[jnp.clip(idx, 0, Xm.shape[0] - 1), axis]
+
+
 @jax.jit
 def _min_d2_subset(Xf, q_idx, Xm, H0, ref_idx):
     """Min squared distance from the indexed queries to the indexed
@@ -572,6 +583,15 @@ def _pow2_pad(idx: np.ndarray) -> np.ndarray:
 # lost the hash-grid gate to exactly that) at the cost of one ~32 ms tunnel
 # roundtrip per extra chunk.
 _SWEEP_PAIR_BUDGET = 1 << 42
+# Band x kept-ref products above this run the SLAB JOIN instead of one
+# global sweep: sort both sides along the longest lattice axis, chunk the
+# queries, and sweep each chunk only against refs within `radius` of its
+# coordinate range (a ref farther than the radius along ONE axis cannot
+# satisfy d2 <= r^2, so the restriction is exact). Measured at 50M x 50M:
+# the global sweep was 2.0M x 11.1M = 2.2e13 pairs = 77 s of VPU time; the
+# slab join cuts the pair count by the extent/radius locality factor.
+_SLAB_SWEEP_MIN = 1 << 40
+_SLAB_CHUNK_Q = 1 << 17
 # Band x cloud sizes up to this many pairs resolve with direct chunked
 # sweeps; beyond it the reference side is compacted first on the classify
 # lattice (_compact_refs_device). Crossover measured at 12.5M x 12.5M
@@ -678,13 +698,57 @@ def overlap_mask_dilate(
             # no ref can be within radius of any band query
             return out
 
+    n_kept = ref_idx.size if ref_idx is not None else n_refs
+    if ref_idx is not None and remaining.size * n_kept > _SLAB_SWEEP_MIN:
+        # Slab join: chunk the band along the longest lattice axis and
+        # sweep each chunk only against refs inside its dilated coordinate
+        # range. Exact: a ref with |q_ax - r_ax| > radius (checked with
+        # relative slack covering f32 rounding of both coordinates and of
+        # the d2 accumulation) has d2 > r2 for every query in the chunk,
+        # so dropping it cannot change the predicate; extra refs admitted
+        # by padding are real movable points and can only (correctly)
+        # lower the min. Pow2-padded chunk shapes keep compiles bounded.
+        axis = int(np.argmax(plan.dims))
+        qx = np.asarray(
+            _gather_query_coord(
+                Xf, jnp.asarray(_pow2_pad(remaining)), axis=axis
+            )
+        )[: remaining.size]
+        rx = np.asarray(
+            _gather_ref_coord(
+                Xm, H0, jnp.asarray(_pow2_pad(ref_idx)), axis=axis
+            )
+        )[: ref_idx.size]
+        qo = np.argsort(qx, kind="stable")
+        q_sorted, qx_sorted = remaining[qo], qx[qo]
+        ro = np.argsort(rx, kind="stable")
+        r_sorted, rx_sorted = ref_idx[ro], rx[ro]
+        reach = r * 1.001 + 1e-12
+        n_pairs = 0
+        for s in range(0, q_sorted.size, _SLAB_CHUNK_Q):
+            qc = q_sorted[s:s + _SLAB_CHUNK_Q]
+            lo_x = qx_sorted[s] - reach
+            hi_x = qx_sorted[min(s + _SLAB_CHUNK_Q, qx_sorted.size) - 1] + reach
+            i0, i1 = np.searchsorted(rx_sorted, [lo_x, hi_x])
+            rc = r_sorted[i0:i1]
+            if rc.size == 0:
+                out[qc] = False
+                continue
+            n_pairs += qc.size * rc.size
+            d2 = _chunked_min_d2(Xf, qc, Xm, H0, _pow2_pad(rc))
+            out[qc] = d2 <= r2
+        _mark(
+            f"slab-join sweep ({remaining.size} queries x {n_kept} refs "
+            f"-> {n_pairs:.3g} pairs, axis {axis})"
+        )
+        return out
+
     d2 = _chunked_min_d2(
         Xf, remaining, Xm, H0,
         _pow2_pad(ref_idx) if ref_idx is not None else None,
     )
     out[remaining] = d2 <= r2
     _mark(
-        f"exact sweep ({remaining.size} queries x "
-        f"{ref_idx.size if ref_idx is not None else n_refs} refs)"
+        f"exact sweep ({remaining.size} queries x {n_kept} refs)"
     )
     return out

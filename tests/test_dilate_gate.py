@@ -258,3 +258,37 @@ def test_far_queries_clip_to_rejection(rng):
     np.testing.assert_array_equal(
         _dilate_mask(Xf, Xm, r), _brute_mask(Xf, Xm, r)
     )
+
+
+def test_slab_join_sweep_matches_brute(rng, monkeypatch):
+    """Force the band-ref compaction AND the slab-join sweep on a small
+    cloud pair (thresholds lowered to 0/1) — the chunked, coordinate-range
+    restricted sweep must reproduce the brute mask bit for bit."""
+    from simpleicp_tpu.ops import dilate_gate as dg
+
+    monkeypatch.setattr(dg, "_DIRECT_SWEEP_MAX", 1)
+    monkeypatch.setattr(dg, "_SLAB_SWEEP_MIN", 1)
+    monkeypatch.setattr(dg, "_SLAB_CHUNK_Q", 64)
+    r = 0.11
+    Xf = rng.uniform(-1, 1, size=(3000, 3)) * np.array([4.0, 1.0, 1.0])
+    Xm = rng.uniform(-1, 1, size=(2500, 3)) * np.array([4.0, 1.0, 1.0])
+    np.testing.assert_array_equal(
+        _dilate_mask(Xf, Xm, r), _brute_mask(Xf, Xm, r)
+    )
+
+
+def test_slab_join_with_initial_transform(rng, monkeypatch):
+    from simpleicp_tpu.ops import dilate_gate as dg
+    from simpleicp_tpu.ops.transform import rbp_to_H
+
+    monkeypatch.setattr(dg, "_DIRECT_SWEEP_MAX", 1)
+    monkeypatch.setattr(dg, "_SLAB_SWEEP_MIN", 1)
+    monkeypatch.setattr(dg, "_SLAB_CHUNK_Q", 128)
+    r = 0.2
+    Xf = rng.uniform(-1, 1, size=(2000, 3)) * np.array([1.0, 3.0, 1.0])
+    Xm = rng.uniform(-1, 1, size=(2200, 3)) * np.array([1.0, 3.0, 1.0])
+    H0 = np.asarray(rbp_to_H(jnp.asarray([0.02, -0.01, 0.05, 0.1, -0.2, 0.3])))
+    Xm0 = Xm @ H0[:3, :3].T + H0[:3, 3]
+    np.testing.assert_array_equal(
+        _dilate_mask(Xf, Xm, r, H0=H0), _brute_mask(Xf, Xm0, r)
+    )
