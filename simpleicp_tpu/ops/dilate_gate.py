@@ -577,6 +577,25 @@ def _pow2_pad(idx: np.ndarray) -> np.ndarray:
     return out
 
 
+def _bucket_pad(idx: np.ndarray) -> np.ndarray:
+    """Pad to the next {2^k, 1.5*2^k} bucket (>= 1024): max 33% padding
+    waste vs 100% for plain pow2, at the cost of at most 2x the distinct
+    compiled shapes. Used by the slab-join sweep, where ref-side padding
+    is a direct multiplier on the dominant pair count. Padding slots are
+    index 0 — a real movable point, which can only (correctly) lower a
+    query's min distance (see overlap_mask_dilate)."""
+    n = max(idx.size, 1024)
+    n_pad = min(
+        s
+        for k in range(10, 32)
+        for s in (1 << k, 3 << (k - 1))
+        if s >= n
+    )
+    out = np.zeros(n_pad, np.int32)
+    out[: idx.size] = idx
+    return out
+
+
 # Pair budget per device call: ~4e12 exact-distance pairs is a few seconds
 # of VPU time. Splitting the sweep host-side bounds every device program's
 # runtime (the TPU runtime watchdog kills multi-minute programs — round 1
@@ -735,7 +754,7 @@ def overlap_mask_dilate(
                 out[qc] = False
                 continue
             n_pairs += qc.size * rc.size
-            d2 = _chunked_min_d2(Xf, qc, Xm, H0, _pow2_pad(rc))
+            d2 = _chunked_min_d2(Xf, qc, Xm, H0, _bucket_pad(rc))
             out[qc] = d2 <= r2
         _mark(
             f"slab-join sweep ({remaining.size} queries x {n_kept} refs "
