@@ -577,21 +577,25 @@ def _pow2_pad(idx: np.ndarray) -> np.ndarray:
     return out
 
 
-def _bucket_pad(idx: np.ndarray) -> np.ndarray:
-    """Pad to the next {2^k, 1.5*2^k} bucket (>= 1024): max 33% padding
-    waste vs 100% for plain pow2, at the cost of at most 2x the distinct
-    compiled shapes. Used by the slab-join sweep, where ref-side padding
-    is a direct multiplier on the dominant pair count. Padding slots are
-    index 0 — a real movable point, which can only (correctly) lower a
-    query's min distance (see overlap_mask_dilate)."""
-    n = max(idx.size, 1024)
-    n_pad = min(
+def _bucket_size(n: int) -> int:
+    """Next {2^k, 1.5*2^k} bucket (>= 1024): max 33% padding waste vs
+    100% for plain pow2, at the cost of at most 2x the distinct compiled
+    shapes."""
+    n = max(n, 1024)
+    return min(
         s
         for k in range(10, 32)
         for s in (1 << k, 3 << (k - 1))
         if s >= n
     )
-    out = np.zeros(n_pad, np.int32)
+
+
+def _bucket_pad(idx: np.ndarray) -> np.ndarray:
+    """Pad to the next size bucket. Used by the slab-join sweep, where
+    ref-side padding is a direct multiplier on the dominant pair count.
+    Padding slots are index 0 — a real movable point, which can only
+    (correctly) lower a query's min distance (see overlap_mask_dilate)."""
+    out = np.zeros(_bucket_size(idx.size), np.int32)
     out[: idx.size] = idx
     return out
 
@@ -610,7 +614,37 @@ _SWEEP_PAIR_BUDGET = 1 << 42
 # the global sweep was 2.0M x 11.1M = 2.2e13 pairs = 77 s of VPU time; the
 # slab join cuts the pair count by the extent/radius locality factor.
 _SLAB_SWEEP_MIN = 1 << 40
-_SLAB_CHUNK_Q = 1 << 17
+# Candidate query-chunk sizes for the slab join. Smaller chunks narrow
+# each chunk's ref window (fewer pairs) but add per-chunk dispatch
+# latency; _pick_slab_chunk estimates both from the sorted coordinates
+# and picks the cheapest.
+_SLAB_CHUNK_OPTS = (1 << 13, 1 << 14, 1 << 15, 1 << 16, 1 << 17)
+_SLAB_PAIRS_PER_SEC = 2.0e11   # measured dense-sweep throughput (tq tiles)
+_SLAB_CALL_SEC = 0.035         # tunnel dispatch+fetch per chunk sweep
+
+
+def _pick_slab_chunk(qx_sorted: np.ndarray, rx_sorted: np.ndarray,
+                     reach: float) -> int:
+    """Choose the query-chunk size minimizing estimated sweep cost:
+    padded pairs / throughput + chunks * dispatch latency. All host-side
+    searchsorted arithmetic on the already-sorted coordinates."""
+    nq = qx_sorted.size
+    best, best_cost = _SLAB_CHUNK_OPTS[-1], float("inf")
+    for cq in _SLAB_CHUNK_OPTS:
+        starts = np.arange(0, nq, cq)
+        ends = np.minimum(starts + cq, nq)
+        lo = qx_sorted[starts] - reach
+        hi = qx_sorted[ends - 1] + reach
+        i0 = np.searchsorted(rx_sorted, lo)
+        i1 = np.searchsorted(rx_sorted, hi)
+        pairs = sum(
+            int(e - s) * _bucket_size(int(b - a)) if b > a else 0
+            for s, e, a, b in zip(starts, ends, i0, i1)
+        )
+        cost = pairs / _SLAB_PAIRS_PER_SEC + starts.size * _SLAB_CALL_SEC
+        if cost < best_cost:
+            best, best_cost = cq, cost
+    return best
 # Band x cloud sizes up to this many pairs resolve with direct chunked
 # sweeps; beyond it the reference side is compacted first on the classify
 # lattice (_compact_refs_device). Crossover measured at 12.5M x 12.5M
@@ -743,11 +777,12 @@ def overlap_mask_dilate(
         ro = np.argsort(rx, kind="stable")
         r_sorted, rx_sorted = ref_idx[ro], rx[ro]
         reach = r * 1.001 + 1e-12
+        chunk_q = _pick_slab_chunk(qx_sorted, rx_sorted, reach)
         n_pairs = 0
-        for s in range(0, q_sorted.size, _SLAB_CHUNK_Q):
-            qc = q_sorted[s:s + _SLAB_CHUNK_Q]
+        for s in range(0, q_sorted.size, chunk_q):
+            qc = q_sorted[s:s + chunk_q]
             lo_x = qx_sorted[s] - reach
-            hi_x = qx_sorted[min(s + _SLAB_CHUNK_Q, qx_sorted.size) - 1] + reach
+            hi_x = qx_sorted[min(s + chunk_q, qx_sorted.size) - 1] + reach
             i0, i1 = np.searchsorted(rx_sorted, [lo_x, hi_x])
             rc = r_sorted[i0:i1]
             if rc.size == 0:
@@ -758,7 +793,7 @@ def overlap_mask_dilate(
             out[qc] = d2 <= r2
         _mark(
             f"slab-join sweep ({remaining.size} queries x {n_kept} refs "
-            f"-> {n_pairs:.3g} pairs, axis {axis})"
+            f"-> {n_pairs:.3g} pairs, axis {axis}, chunk {chunk_q})"
         )
         return out
 

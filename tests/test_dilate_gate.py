@@ -268,7 +268,7 @@ def test_slab_join_sweep_matches_brute(rng, monkeypatch):
 
     monkeypatch.setattr(dg, "_DIRECT_SWEEP_MAX", 1)
     monkeypatch.setattr(dg, "_SLAB_SWEEP_MIN", 1)
-    monkeypatch.setattr(dg, "_SLAB_CHUNK_Q", 64)
+    monkeypatch.setattr(dg, "_SLAB_CHUNK_OPTS", (64, 256))
     r = 0.11
     Xf = rng.uniform(-1, 1, size=(3000, 3)) * np.array([4.0, 1.0, 1.0])
     Xm = rng.uniform(-1, 1, size=(2500, 3)) * np.array([4.0, 1.0, 1.0])
@@ -283,7 +283,7 @@ def test_slab_join_with_initial_transform(rng, monkeypatch):
 
     monkeypatch.setattr(dg, "_DIRECT_SWEEP_MAX", 1)
     monkeypatch.setattr(dg, "_SLAB_SWEEP_MIN", 1)
-    monkeypatch.setattr(dg, "_SLAB_CHUNK_Q", 128)
+    monkeypatch.setattr(dg, "_SLAB_CHUNK_OPTS", (128,))
     r = 0.2
     Xf = rng.uniform(-1, 1, size=(2000, 3)) * np.array([1.0, 3.0, 1.0])
     Xm = rng.uniform(-1, 1, size=(2200, 3)) * np.array([1.0, 3.0, 1.0])
