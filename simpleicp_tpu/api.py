@@ -281,6 +281,8 @@ class SimpleICP:
         center: bool = True,
         approx_knn: bool = False,
         gate_method: str = "auto",
+        match_method: str = "brute",
+        match_radius: float = 0.0,
         mesh=None,
         num_devices: int = 0,
     ) -> Tuple[np.ndarray, np.ndarray, RigidBodyParameters, np.ndarray]:
@@ -345,6 +347,8 @@ class SimpleICP:
             std_ddof=std_ddof,
             approx_knn=approx_knn,
             gate_method=gate_method,
+            match_method=match_method,
+            match_radius=match_radius,
             record_trajectory=bool(debug_dirpath),
         )
 

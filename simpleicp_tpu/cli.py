@@ -77,6 +77,18 @@ def build_parser() -> argparse.ArgumentParser:
         help="overlap-gate engine: dense sweep, spatial hash, or "
              "dilated-occupancy bitmap (auto picks by problem size)",
     )
+    p.add_argument(
+        "--match-method", choices=("brute", "grid"), default="brute",
+        help="in-loop NN matcher: dense sweep (exact, unbounded) or "
+             "static-grid cell list (exact within --match-radius; one grid "
+             "build serves all iterations — use with large "
+             "--correspondences against big clouds)",
+    )
+    p.add_argument(
+        "--match-radius", type=float, default=0.0,
+        help="cell size / exactness radius of the grid matcher "
+             "(0 = use --max_overlap_distance)",
+    )
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -127,6 +139,8 @@ def main(argv=None) -> int:
         debug_dirpath=args.debug_dirpath,
         approx_knn=args.approx_knn,
         gate_method=args.gate_method,
+        match_method=args.match_method,
+        match_radius=args.match_radius,
         num_devices=args.num_devices,
     )
     if args.export:

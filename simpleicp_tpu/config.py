@@ -98,6 +98,31 @@ class IcpConfig:
     # Static max hash-slot occupancy for the grid gate; 0 = computed
     # host-side by icp_register via ops.gridhash.grid_cell_cap.
     grid_cell_cap: int = 0
+    # In-loop NN matcher: "brute" = tiled dense sweep over the transformed
+    # movable cloud (exact, O(C*nm) per iteration — the right choice at the
+    # reference's C=1000); "grid" = radius-bounded cell-list match against
+    # the STATIC movable cloud with back-transformed queries (rigid motion
+    # preserves distances, so NN(q, H x) == NN(H^-1 q, x) — one grid build
+    # serves every iteration; O(27*cap) gathers per query). Grid matches are
+    # exact NNs; correspondences whose NN lies beyond `match_radius` are
+    # dropped for that iteration (with the overlap gate active, gated points
+    # start within the radius, so drops only occur if the alignment
+    # temporarily diverges). Use "grid" when C is large (1e5+) against big
+    # clouds, where the brute sweep's C*nm pair cost dominates.
+    # Exactness caveat: with solver="nonlinear" (exact trig rotations) the
+    # grid matcher agrees with "brute" bit-for-bit. With solver="linearized"
+    # the accumulated H is only approximately orthogonal (I + skew
+    # increments, like reference Rust/Julia/MATLAB), so back-frame distances
+    # carry an O(|alpha|^2)-relative metric distortion — near-ties between
+    # two candidates closer than that may resolve differently than the
+    # forward-frame brute matcher (same convergence basin either way).
+    match_method: str = "brute"
+    # Cell size / exactness radius of the grid matcher; 0.0 = use
+    # max_overlap_distance (requires the overlap gate to be enabled).
+    match_radius: float = 0.0
+    # Static max hash-slot occupancy for the grid matcher; 0 = computed
+    # host-side by icp_register via ops.gridhash.grid_cell_cap.
+    match_cell_cap: int = 0
 
     def __post_init__(self):
         if self.correspondences < 6:
@@ -119,6 +144,18 @@ class IcpConfig:
         if self.gate_method not in ("auto", "brute", "grid", "dilate"):
             raise ValueError(
                 "gate_method must be 'auto', 'brute', 'grid' or 'dilate'"
+            )
+        if self.match_method not in ("brute", "grid"):
+            raise ValueError("match_method must be 'brute' or 'grid'")
+        if self.match_radius < 0:
+            raise ValueError("match_radius must be >= 0")
+        if self.match_method == "grid" and self.match_radius == 0.0 and not (
+            math.isfinite(self.max_overlap_distance)
+            and self.max_overlap_distance > 0
+        ):
+            raise ValueError(
+                "match_method='grid' needs a radius: set match_radius or "
+                "enable the overlap gate (max_overlap_distance)"
             )
 
     @property

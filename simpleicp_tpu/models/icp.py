@@ -142,10 +142,13 @@ def run_icp_loop(Q, normals, planarity, sel_valid, obs_vals, obs_w,
                  mov_planarity_fn=None):
     """The match -> reject -> solve -> converge iteration as a
     `lax.while_loop`, shared by the single-chip and sharded (shard_map)
-    drivers. `match_fn(Ht) -> (m_idx, m_t, m_orig)` performs the NN matching
-    against the movable cloud transformed by Ht (with collectives in the
-    sharded case); `gather_fn(m_idx) -> (C,3)` fetches original-frame movable
-    points for the post-loop uncertainty estimate.
+    drivers. `match_fn(Ht) -> (m_idx, m_t, m_orig, m_valid)` performs the NN
+    matching against the movable cloud transformed by Ht (with collectives in
+    the sharded case); `m_valid` marks rows where a match exists (always true
+    for the unbounded brute matcher; the radius-bounded grid matcher drops
+    rows whose NN lies beyond its radius). `gather_fn(m_idx) -> (C,3)`
+    fetches original-frame movable points for the post-loop uncertainty
+    estimate.
 
     Returns (final_carry, uncertainties).
     """
@@ -177,7 +180,7 @@ def run_icp_loop(Q, normals, planarity, sel_valid, obs_vals, obs_w,
 
     def body(c: _Carry) -> _Carry:
         Ht = rbp_to_H(c.p) if nonlinear else c.H
-        m_idx, m_t, m_orig = match_fn(Ht)
+        m_idx, m_t, m_orig, m_valid = match_fn(Ht)
         d = jnp.sum((m_t - Q) * normals, axis=1)  # signed p2plane distances
 
         # Reject (staging per SURVEY.md Q5 / cfg.rejection_staging):
@@ -187,10 +190,11 @@ def run_icp_loop(Q, normals, planarity, sel_valid, obs_vals, obs_w,
         #   "joint": median/MAD on ALL matched distances, both criteria
         #       applied jointly (C++/Rust/Julia/MATLAB,
         #       /root/reference/c++/src/corrpts.cpp:59-89).
-        mask_p = sel_valid & (planarity >= min_planarity)
+        matched = sel_valid & m_valid
+        mask_p = matched & (planarity >= min_planarity)
         if mov_planarity_fn is not None:
             mask_p = mask_p & (mov_planarity_fn(m_idx) >= min_planarity)
-        mad_base = sel_valid if cfg.rejection_staging == "joint" else mask_p
+        mad_base = matched if cfg.rejection_staging == "joint" else mask_p
         med = masked_median(d, mad_base)
         sigma = 3.0 * masked_mad(d, mad_base, scale=cfg.mad_scale)
         mask = mask_p & (jnp.abs(d - med) <= sigma)
@@ -371,18 +375,49 @@ def _icp_run(Xf, Xm, obs_vals, obs_w, normals_fix, planarity_fix,
         neigh = Xf[idxk]  # (C, k, 3)
         normals, planarity, _ = estimate_normals_from_neighborhoods(neigh)
 
-    def match_fn(Ht):
-        Xm_t = apply_H(Xm, Ht)
-        # NN of each selected fixed point among transformed movable points
-        # (KD-tree rebuilt per iteration in the reference,
-        # /root/reference/python/simpleicp/corrpts.py:131-132 — here a fresh
-        # pass of the tiled distance kernel over the moved cloud). The lax
-        # kernel is deliberate: inside the while_loop XLA fuses the
-        # transform -> distance -> argmin chain end to end, whereas a
-        # pallas_call boundary forces materializing the transformed cloud
-        # and its coordinate planes every iteration (measured 7x slower).
-        _, m_idx = nn_search(Q, Xm_t, ref_tile=rt, query_tile=qt)
-        return m_idx, Xm_t[m_idx], Xm[m_idx]
+    if cfg.match_method == "grid":
+        from ..ops.gridhash import build_sorted_grid, grid_query_sorted
+
+        # Static-grid matcher: ONE cell list over the ORIGINAL movable cloud
+        # serves every iteration. Rigid motion preserves distances, so the
+        # NN of q among Ht-transformed movable points is the NN of
+        # Ht^-1 q = R^T (q - t) among the static points — the loop never
+        # touches the full cloud again (the reference rebuilds its KD-tree
+        # over the moved cloud every iteration,
+        # /root/reference/python/simpleicp/corrpts.py:131-132). Exact within
+        # `match_radius`: rows whose NN lies farther are dropped via m_valid.
+        # (With the linearized solver H is only approximately orthogonal —
+        # see IcpConfig.match_method for the near-tie caveat.)
+        rm = cfg.match_radius if cfg.match_radius > 0 else cfg.max_overlap_distance
+        rm = jnp.asarray(rm, dtype)
+        g_pts, g_slots, g_order, g_origin, g_run_end = build_sorted_grid(Xm, rm)
+
+        def match_fn(Ht):
+            R, t = Ht[:3, :3], Ht[:3, 3]
+            qb = (Q - t) @ R  # R^T (q - t): exact rigid inverse transform
+            d2, pos = grid_query_sorted(
+                qb, g_pts, g_slots, g_origin, rm,
+                cell_cap=max(cfg.match_cell_cap, 1), run_end=g_run_end,
+            )
+            # Beyond the cell radius the 27-cell scan may miss the true NN;
+            # keep only certain-exact matches.
+            m_valid = d2 <= rm * rm
+            m_idx = jnp.where(m_valid, g_order[pos].astype(jnp.int32), 0)
+            m_orig = Xm[m_idx]
+            return m_idx, apply_H(m_orig, Ht), m_orig, m_valid
+    else:
+        def match_fn(Ht):
+            Xm_t = apply_H(Xm, Ht)
+            # NN of each selected fixed point among transformed movable points
+            # (KD-tree rebuilt per iteration in the reference,
+            # /root/reference/python/simpleicp/corrpts.py:131-132 — here a fresh
+            # pass of the tiled distance kernel over the moved cloud). The lax
+            # kernel is deliberate: inside the while_loop XLA fuses the
+            # transform -> distance -> argmin chain end to end, whereas a
+            # pallas_call boundary forces materializing the transformed cloud
+            # and its coordinate planes every iteration (measured 7x slower).
+            _, m_idx = nn_search(Q, Xm_t, ref_tile=rt, query_tile=qt)
+            return m_idx, Xm_t[m_idx], Xm[m_idx], jnp.ones_like(m_idx, bool)
 
     def gather_fn(m_idx):
         return Xm[m_idx]
@@ -479,6 +514,20 @@ def icp_register(
 
         rt_auto = 1 << max(12, min(16, (Xm.shape[0] // 8).bit_length()))
         cfg = dataclasses.replace(cfg, ref_tile=rt_auto)
+
+    # Grid matcher: resolve the static slot-occupancy cap host-side (the
+    # grid is built over the ORIGINAL movable cloud, which never moves, so
+    # the cap is exact for every iteration).
+    if cfg.match_method == "grid" and cfg.match_cell_cap == 0:
+        import dataclasses
+
+        from ..ops.gridhash import grid_cell_cap
+
+        rm = cfg.match_radius if cfg.match_radius > 0 else cfg.max_overlap_distance
+        cfg = dataclasses.replace(
+            cfg,
+            match_cell_cap=grid_cell_cap(np.asarray(X_mov, np.float64), rm),
+        )
 
     # Resolve the overlap-gate engine (static choice, host-side). The dense
     # sweep runs at ~1e12 distance-pairs/s on the VPU, so brute wins below
@@ -624,6 +673,11 @@ def icp_register_batch(
     if cfg.overlap_enabled and cfg.gate_method in ("grid", "dilate"):
         raise ValueError(
             f"gate_method={cfg.gate_method!r} is not supported in batch mode"
+        )
+    if cfg.match_method != "brute":
+        raise ValueError(
+            "match_method='grid' is not supported in batch mode (its cell "
+            "cap is per-cloud static)"
         )
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32

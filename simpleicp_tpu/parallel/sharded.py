@@ -327,15 +327,50 @@ def _icp_run_sharded(Xf, f_valid, Xm, m_valid, ext_sel, obs_vals, obs_w,
             normals, planarity, _ = estimate_normals_from_neighborhoods(neigh)
 
         # ---- the shared ICP loop with a collective matcher ----
-        def match_fn(Ht):
-            Xm_t_l = apply_H(Xm_l, Ht)
-            d2_l, idx_l = nn_search(
-                Q, Xm_t_l, ref_tile=rt, query_tile=qt, ref_mask=mv_l
+        if cfg.match_method == "grid":
+            from ..ops.gridhash import build_sorted_grid, grid_query_sorted
+
+            # Static-grid matcher, sharded: each shard builds ONE cell list
+            # over its original movable block (on a GLOBAL lattice origin so
+            # the full-cloud cell cap bounds per-shard occupancy), queries it
+            # with the replicated back-transformed queries, and the per-shard
+            # winners min-combine — no ring pass, queries are replicated.
+            rm = jnp.asarray(
+                cfg.match_radius if cfg.match_radius > 0
+                else cfg.max_overlap_distance, dtype,
             )
-            _, m_idx = _combine_nn(d2_l, idx_l + me * mrows, axis)
-            m_t = _gather_rows(Xm_t_l, m_idx, axis)
-            m_orig = _gather_rows(Xm_l, m_idx, axis)
-            return m_idx, m_t, m_orig
+            big = jnp.asarray(1e30, dtype)
+            g_origin = lax.pmin(
+                jnp.min(jnp.where(mv_l[:, None], Xm_l, big), axis=0), axis
+            )
+            g_pts, g_slots, g_order, _, g_run_end = build_sorted_grid(
+                Xm_l, rm, valid=mv_l, origin=g_origin
+            )
+
+            def match_fn(Ht):
+                R, t = Ht[:3, :3], Ht[:3, 3]
+                qb = (Q - t) @ R  # rigid inverse: NN(q, Ht x) == NN(qb, x)
+                d2_l, pos_l = grid_query_sorted(
+                    qb, g_pts, g_slots, g_origin, rm,
+                    cell_cap=max(cfg.match_cell_cap, 1), run_end=g_run_end,
+                )
+                d2, m_idx = _combine_nn(
+                    d2_l, g_order[pos_l].astype(jnp.int32) + me * mrows, axis
+                )
+                m_ok = d2 <= rm * rm
+                m_idx = jnp.where(m_ok, m_idx, 0)
+                m_orig = _gather_rows(Xm_l, m_idx, axis)
+                return m_idx, apply_H(m_orig, Ht), m_orig, m_ok
+        else:
+            def match_fn(Ht):
+                Xm_t_l = apply_H(Xm_l, Ht)
+                d2_l, idx_l = nn_search(
+                    Q, Xm_t_l, ref_tile=rt, query_tile=qt, ref_mask=mv_l
+                )
+                _, m_idx = _combine_nn(d2_l, idx_l + me * mrows, axis)
+                m_t = _gather_rows(Xm_t_l, m_idx, axis)
+                m_orig = _gather_rows(Xm_l, m_idx, axis)
+                return m_idx, m_t, m_orig, jnp.ones_like(m_idx, bool)
 
         def gather_fn(m_idx):
             return _gather_rows(Xm_l, m_idx, axis)
@@ -509,6 +544,19 @@ def icp_register_sharded(
             cfg = dataclasses.replace(
                 cfg, gate_method=resolved, grid_cell_cap=cap
             )
+
+    if cfg.match_method == "grid" and cfg.match_cell_cap == 0:
+        import dataclasses
+
+        from ..ops.gridhash import grid_cell_cap
+
+        # Matcher grid is over the ORIGINAL movable cloud; the full-cloud
+        # cap bounds every shard's slot occupancy (global lattice origin).
+        rm = cfg.match_radius if cfg.match_radius > 0 else cfg.max_overlap_distance
+        cfg = dataclasses.replace(
+            cfg,
+            match_cell_cap=grid_cell_cap(np.asarray(X_mov, np.float64), rm),
+        )
 
     Xf = np.asarray(X_fix, np_dtype)
     Xm = np.asarray(X_mov, np_dtype)

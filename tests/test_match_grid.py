@@ -1,0 +1,129 @@
+"""Static-grid in-loop matcher (match_method="grid").
+
+The grid matcher builds ONE cell list over the original movable cloud and
+matches every iteration with back-transformed queries (rigid motion preserves
+distances, so NN(q, H x) == NN(H^-1 q, x)). Within `match_radius` it is
+exact, so a registration must agree with the brute matcher bit-for-bit
+(identical matched indices make every downstream value identical in f64).
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from simpleicp_tpu import IcpConfig, icp_register
+from simpleicp_tpu.models import icp as icp_core
+
+
+def _cloud_pair(rng, n=4000, angle=0.04, t=(0.05, -0.03, 0.02)):
+    """A smooth-ish random surface and a rigidly moved copy."""
+    xy = rng.uniform(-1, 1, (n, 2))
+    z = 0.3 * np.sin(2 * xy[:, 0]) * np.cos(3 * xy[:, 1])
+    X_fix = np.column_stack([xy, z])
+    c, s = np.cos(angle), np.sin(angle)
+    R = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+    X_mov = (X_fix - np.mean(X_fix, 0)) @ R.T + np.mean(X_fix, 0) + np.asarray(t)
+    return X_fix, X_mov
+
+
+def test_grid_match_equals_brute_nonlinear(rng):
+    """With exact trig rotations (nonlinear solver) H stays orthogonal, the
+    back-transform identity is exact, and grid == brute bit-for-bit."""
+    X_fix, X_mov = _cloud_pair(rng)
+    base = dict(
+        solver="nonlinear", max_overlap_distance=0.5, correspondences=500
+    )
+    res_b = icp_register(X_fix, X_mov, IcpConfig(match_method="brute", **base))
+    res_g = icp_register(X_fix, X_mov, IcpConfig(match_method="grid", **base))
+    assert int(res_g.error_code) == icp_core.ERR_OK
+    assert bool(res_g.converged)
+    assert int(res_g.n_iterations) == int(res_b.n_iterations)
+    np.testing.assert_array_equal(
+        np.asarray(res_g.iter_counts), np.asarray(res_b.iter_counts)
+    )
+    np.testing.assert_array_equal(np.asarray(res_g.H), np.asarray(res_b.H))
+    np.testing.assert_array_equal(
+        np.asarray(res_g.residuals), np.asarray(res_b.residuals)
+    )
+
+
+def test_grid_match_equals_brute_linearized(rng):
+    """The linearized solver accumulates I+skew increments, so H is only
+    approximately orthogonal; back-frame distances carry an O(|alpha|^2)
+    metric distortion and near-ties may resolve differently (documented in
+    IcpConfig.match_method). Same basin, H within that tolerance."""
+    X_fix, X_mov = _cloud_pair(rng)
+    base = dict(
+        solver="linearized", max_overlap_distance=0.5, correspondences=500
+    )
+    res_b = icp_register(X_fix, X_mov, IcpConfig(match_method="brute", **base))
+    res_g = icp_register(X_fix, X_mov, IcpConfig(match_method="grid", **base))
+    assert int(res_g.error_code) == icp_core.ERR_OK
+    assert bool(res_g.converged)
+    np.testing.assert_allclose(
+        np.asarray(res_g.H), np.asarray(res_b.H), rtol=0, atol=1e-5
+    )
+
+
+def test_grid_match_explicit_radius_no_gate(rng):
+    """match_radius works without the overlap gate."""
+    X_fix, X_mov = _cloud_pair(rng, n=2000)
+    cfg_b = IcpConfig(correspondences=300, solver="nonlinear")
+    cfg_g = IcpConfig(
+        correspondences=300, solver="nonlinear",
+        match_method="grid", match_radius=0.6,
+    )
+    res_b = icp_register(X_fix, X_mov, cfg_b)
+    res_g = icp_register(X_fix, X_mov, cfg_g)
+    assert int(res_g.error_code) == icp_core.ERR_OK
+    np.testing.assert_array_equal(np.asarray(res_g.H), np.asarray(res_b.H))
+
+
+def test_grid_match_drops_out_of_radius(rng):
+    """Queries whose NN lies beyond match_radius are dropped from the
+    correspondence set for that iteration (never silently mismatched)."""
+    X_fix, X_mov = _cloud_pair(rng, n=2000, angle=0.0, t=(0.0, 0.0, 0.0))
+    # a far-away island in the fixed cloud: its points have no movable
+    # neighbor within the match radius
+    island = rng.uniform(9.0, 10.0, (200, 3))
+    X_fix = np.vstack([X_fix, island])
+    cfg = IcpConfig(
+        correspondences=400, solver="linearized",
+        match_method="grid", match_radius=0.3, min_planarity=0.0,
+    )
+    res = icp_register(X_fix, X_mov, cfg)
+    assert int(res.error_code) == icp_core.ERR_OK
+    counts = np.asarray(res.iter_counts)[: int(res.n_iterations)]
+    # island queries (~9% of selections) must have been dropped
+    assert counts.max() < 400
+    # and the kept matches are the exact NNs: residual stats behave
+    assert np.isfinite(np.asarray(res.iter_means)[: int(res.n_iterations)]).all()
+
+
+def test_grid_match_requires_radius():
+    with pytest.raises(ValueError, match="match_method='grid' needs a radius"):
+        IcpConfig(match_method="grid", max_overlap_distance=math.inf)
+
+
+def test_grid_match_sharded_parity(rng):
+    """Sharded grid matcher (per-shard cell lists on one global lattice,
+    min-combined winners) agrees with the single-chip grid matcher."""
+    from simpleicp_tpu.parallel import make_mesh
+    from simpleicp_tpu.parallel.sharded import icp_register_sharded
+
+    X_fix, X_mov = _cloud_pair(rng, n=3000)
+    cfg = IcpConfig(
+        correspondences=400, solver="nonlinear",
+        max_overlap_distance=0.5, match_method="grid",
+    )
+    res_1 = icp_register(X_fix, X_mov, cfg)
+    res_8 = icp_register_sharded(X_fix, X_mov, cfg, mesh=make_mesh(8))
+    assert int(res_8.error_code) == icp_core.ERR_OK
+    assert int(res_8.n_iterations) == int(res_1.n_iterations)
+    np.testing.assert_allclose(
+        np.asarray(res_8.H), np.asarray(res_1.H), rtol=0, atol=1e-9
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_8.iter_counts), np.asarray(res_1.iter_counts)
+    )
