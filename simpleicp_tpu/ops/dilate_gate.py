@@ -536,15 +536,51 @@ def _compact_refs_device(Xf, band_idx, Xm, H0, *, plan: DilatePlan):
     return ((grid[widx] >> bit) & 1).astype(bool)
 
 
-@functools.partial(jax.jit, static_argnames=("axis",))
-def _gather_query_coord(Xf, idx, *, axis: int):
-    return Xf[jnp.clip(idx, 0, Xf.shape[0] - 1), axis]
+@functools.partial(jax.jit, static_argnames=("axes",))
+def _gather_query_coords2(Xf, idx, *, axes):
+    P = Xf[jnp.clip(idx, 0, Xf.shape[0] - 1)]
+    return jnp.stack([P[:, axes[0]], P[:, axes[1]]])
 
 
-@functools.partial(jax.jit, static_argnames=("axis",))
-def _gather_ref_coord(Xm, H0, idx, *, axis: int):
+@functools.partial(jax.jit, static_argnames=("axes",))
+def _gather_ref_coords2(Xm, H0, idx, *, axes):
     Xm0 = Xm @ H0[:3, :3].T + H0[:3, 3]
-    return Xm0[jnp.clip(idx, 0, Xm.shape[0] - 1), axis]
+    P = Xm0[jnp.clip(idx, 0, Xm.shape[0] - 1)]
+    return jnp.stack([P[:, axes[0]], P[:, axes[1]]])
+
+
+@jax.jit
+def _gather_ref_rows(Xm, H0, idx):
+    """Transformed movable rows by index — materializes the slab-ordered
+    reference array the blocked sweep slices from."""
+    Xm0 = Xm @ H0[:3, :3].T + H0[:3, 3]
+    return Xm0[jnp.clip(idx, 0, Xm.shape[0] - 1)]
+
+
+@functools.partial(jax.jit, static_argnames=("W",))
+def _min_d2_sliced_blocks(Xf, QB, starts, Rsorted, *, W: int):
+    """Blocked sweep: for block b, min squared distance from the S1 indexed
+    queries QB[b] to the W-row slice Rsorted[starts[b] : starts[b]+W].
+
+    One program sweeps ALL blocks (lax.map), replacing a per-block dispatch
+    (~35 ms tunnel latency each). Slices over-cover their block's exact
+    candidate window; every extra row is still a real transformed movable
+    point, which can only (correctly) lower a query's min — the predicate
+    stays exact (see overlap_mask_dilate)."""
+    from .knn import min_dist_sq
+
+    S1 = QB.shape[1]
+
+    def blk(pair):
+        qi, j0 = pair
+        Q = Xf[jnp.clip(qi, 0, Xf.shape[0] - 1)]
+        R = lax.dynamic_slice(Rsorted, (j0, jnp.int32(0)), (W, 3))
+        return min_dist_sq(
+            Q, R, ref_tile=min(65536, max(8, W)),
+            query_tile=min(2048, S1), layout="tq",
+        )
+
+    return lax.map(blk, (QB, starts))
 
 
 @jax.jit
@@ -590,16 +626,6 @@ def _bucket_size(n: int) -> int:
     )
 
 
-def _bucket_pad(idx: np.ndarray) -> np.ndarray:
-    """Pad to the next size bucket. Used by the slab-join sweep, where
-    ref-side padding is a direct multiplier on the dominant pair count.
-    Padding slots are index 0 — a real movable point, which can only
-    (correctly) lower a query's min distance (see overlap_mask_dilate)."""
-    out = np.zeros(_bucket_size(idx.size), np.int32)
-    out[: idx.size] = idx
-    return out
-
-
 # Pair budget per device call: ~4e12 exact-distance pairs is a few seconds
 # of VPU time. Splitting the sweep host-side bounds every device program's
 # runtime (the TPU runtime watchdog kills multi-minute programs — round 1
@@ -613,6 +639,11 @@ _SWEEP_PAIR_BUDGET = 1 << 42
 # satisfy d2 <= r^2, so the restriction is exact). Measured at 50M x 50M:
 # the global sweep was 2.0M x 11.1M = 2.2e13 pairs = 77 s of VPU time; the
 # slab join cuts the pair count by the extent/radius locality factor.
+# The join is BLOCKED and 2-D (_blocked_slab_join): a second restriction
+# along the next-longest axis within each slab multiplies the locality
+# factor again, and all blocks sweep in a few lax.map programs against
+# dynamic_slice windows of one slab-ordered ref array (no per-block
+# dispatch, no per-block gathers).
 _SLAB_SWEEP_MIN = 1 << 40
 # Candidate query-chunk sizes for the slab join. Smaller chunks narrow
 # each chunk's ref window (fewer pairs) but add per-chunk dispatch
@@ -621,6 +652,21 @@ _SLAB_SWEEP_MIN = 1 << 40
 _SLAB_CHUNK_OPTS = (1 << 13, 1 << 14, 1 << 15, 1 << 16, 1 << 17)
 _SLAB_PAIRS_PER_SEC = 2.0e11   # measured dense-sweep throughput (tq tiles)
 _SLAB_CALL_SEC = 0.035         # tunnel dispatch+fetch per chunk sweep
+# Minimum y-sub-chunk size of the blocked 2-D slab join (the second
+# restriction axis). Tests lower it to exercise multi-block slabs.
+_SLAB1_MIN = 1 << 12
+
+
+def _block_bucket(n: int) -> int:
+    """{2^k, 1.5*2^k} bucket with a small floor — block counts are two
+    orders below point counts, so a 1024 floor would be all padding."""
+    n = max(n, 8)
+    return min(
+        s
+        for k in range(3, 32)
+        for s in (1 << k, 3 << (k - 1))
+        if s >= n
+    )
 
 
 def _pick_slab_chunk(qx_sorted: np.ndarray, rx_sorted: np.ndarray,
@@ -672,6 +718,127 @@ def _chunked_min_d2(Xf, q_idx: np.ndarray, Xm, H0,
         else:
             parts.append(np.asarray(_min_d2_full(Xf, qc, Xm, H0)))
     return np.concatenate(parts)[: q_idx.size] if len(parts) > 1 else parts[0][: q_idx.size]
+
+
+def _blocked_slab_join(Xf, Xm, H0, remaining: np.ndarray,
+                       ref_idx: np.ndarray, plan: DilatePlan,
+                       out: np.ndarray, r2, reach: float, _mark) -> None:
+    """Resolve the band with a blocked 2-D slab join, writing into `out`.
+
+    Structure (all planning is host-side numpy on fetched coordinates):
+      1. sort queries and refs along the longest lattice axis (x);
+      2. chunk queries into x-slabs (size from the 1-D cost model); each
+         slab's candidate refs are a contiguous x-window of the sorted refs;
+      3. within a slab, sort the window's refs AND the slab's queries along
+         the second-longest axis (y) and chunk queries into y-sub-chunks;
+         each sub-chunk's candidates are a contiguous y-run of the window;
+      4. concatenate the per-slab y-sorted windows into ONE device array
+         (`_gather_ref_rows`, a single transform+gather), so every block's
+         candidates are a `dynamic_slice` — no per-block gathers;
+      5. sweep all blocks with `_min_d2_sliced_blocks` (lax.map), split
+         into as few programs as the pair budget allows.
+
+    Exactness: per-axis windows only exclude refs provably farther than the
+    radius from every query in the block; slices/padding only ADD real
+    movable points (min can only drop toward the true min). Block and
+    width shapes use {2^k, 1.5*2^k} buckets to bound distinct compiles.
+    """
+    ax_order = np.argsort(np.asarray(plan.dims))[::-1]
+    axes = (int(ax_order[0]), int(ax_order[1]))
+    qx0, qx1 = np.asarray(
+        _gather_query_coords2(Xf, jnp.asarray(_pow2_pad(remaining)), axes=axes)
+    )[:, : remaining.size]
+    rx0, rx1 = np.asarray(
+        _gather_ref_coords2(Xm, H0, jnp.asarray(_pow2_pad(ref_idx)), axes=axes)
+    )[:, : ref_idx.size]
+
+    qo = np.argsort(qx0, kind="stable")
+    q_sorted, qx0_s, qx1_s = remaining[qo], qx0[qo], qx1[qo]
+    ro = np.argsort(rx0, kind="stable")
+    r_by_x, rx0_s, rx1_by_x = ref_idx[ro], rx0[ro], rx1[ro]
+
+    S0 = _pick_slab_chunk(qx0_s, rx0_s, reach)
+    S1 = max(_SLAB1_MIN, min(S0 >> 4, 1 << 15))
+
+    cat_parts = []          # per-slab y-sorted ref indices (movable rows)
+    blocks_q = []           # per-block query indices (<= S1 each)
+    blocks_start = []       # per-block start into the concatenated array
+    blocks_fill = []        # per-block exact candidate count
+    m_off = 0
+    for s in range(0, q_sorted.size, S0):
+        e = min(s + S0, q_sorted.size)
+        i0, i1 = np.searchsorted(
+            rx0_s, [qx0_s[s] - reach, qx0_s[e - 1] + reach]
+        )
+        if i1 <= i0:
+            out[q_sorted[s:e]] = False
+            continue
+        wy = rx1_by_x[i0:i1]
+        yo = np.argsort(wy, kind="stable")
+        cat_parts.append(r_by_x[i0:i1][yo])
+        wy_s = wy[yo]
+        qo1 = np.argsort(qx1_s[s:e], kind="stable")
+        qs_by_y = q_sorted[s:e][qo1]
+        qy = qx1_s[s:e][qo1]
+        for t in range(0, qs_by_y.size, S1):
+            te = min(t + S1, qs_by_y.size)
+            j0, j1 = np.searchsorted(
+                wy_s, [qy[t] - reach, qy[te - 1] + reach]
+            )
+            if j1 <= j0:
+                out[qs_by_y[t:te]] = False
+                continue
+            blocks_q.append(qs_by_y[t:te])
+            blocks_start.append(m_off + j0)
+            blocks_fill.append(j1 - j0)
+        m_off += i1 - i0
+
+    if not blocks_q:
+        _mark("blocked slab join (all windows empty)")
+        return
+
+    W = _bucket_size(max(blocks_fill))
+    M_pad = max(_bucket_size(m_off), W)
+    cat_idx = np.zeros(M_pad, np.int32)
+    cat_idx[:m_off] = np.concatenate(cat_parts)
+    Rsorted = _gather_ref_rows(Xm, H0, jnp.asarray(cat_idx))
+    starts_np = np.minimum(
+        np.asarray(blocks_start, np.int32), np.int32(M_pad - W)
+    )
+
+    B = len(blocks_q)
+    QB = np.zeros((B, S1), np.int32)
+    for b, qc in enumerate(blocks_q):
+        QB[b, : qc.size] = qc
+
+    # Split into device calls under the pair budget; bucket each call's
+    # block count (padded blocks sweep query 0 vs slice 0 — real data,
+    # results discarded).
+    group = max(1, int(_SWEEP_PAIR_BUDGET // max(S1 * W, 1)))
+    n_pairs = 0
+    n_calls = 0
+    for g in range(0, B, group):
+        ge = min(g + group, B)
+        gb = _block_bucket(ge - g)
+        QBg = np.zeros((gb, S1), np.int32)
+        QBg[: ge - g] = QB[g:ge]
+        stg = np.zeros(gb, np.int32)
+        stg[: ge - g] = starts_np[g:ge]
+        d2 = np.asarray(
+            _min_d2_sliced_blocks(
+                Xf, jnp.asarray(QBg), jnp.asarray(stg), Rsorted, W=W
+            )
+        )
+        n_calls += 1
+        n_pairs += gb * S1 * W
+        for b in range(g, ge):
+            qc = blocks_q[b]
+            out[qc] = d2[b - g, : qc.size] <= r2
+    _mark(
+        f"blocked slab join ({remaining.size} queries x {ref_idx.size} refs"
+        f" -> {B} blocks (S0 {S0}, S1 {S1}, W {W}), {n_pairs:.3g} padded"
+        f" pairs, {n_calls} calls, axes {axes})"
+    )
 
 
 def overlap_mask_dilate(
@@ -753,47 +920,17 @@ def overlap_mask_dilate(
 
     n_kept = ref_idx.size if ref_idx is not None else n_refs
     if ref_idx is not None and remaining.size * n_kept > _SLAB_SWEEP_MIN:
-        # Slab join: chunk the band along the longest lattice axis and
-        # sweep each chunk only against refs inside its dilated coordinate
-        # range. Exact: a ref with |q_ax - r_ax| > radius (checked with
-        # relative slack covering f32 rounding of both coordinates and of
-        # the d2 accumulation) has d2 > r2 for every query in the chunk,
-        # so dropping it cannot change the predicate; extra refs admitted
-        # by padding are real movable points and can only (correctly)
-        # lower the min. Pow2-padded chunk shapes keep compiles bounded.
-        axis = int(np.argmax(plan.dims))
-        qx = np.asarray(
-            _gather_query_coord(
-                Xf, jnp.asarray(_pow2_pad(remaining)), axis=axis
-            )
-        )[: remaining.size]
-        rx = np.asarray(
-            _gather_ref_coord(
-                Xm, H0, jnp.asarray(_pow2_pad(ref_idx)), axis=axis
-            )
-        )[: ref_idx.size]
-        qo = np.argsort(qx, kind="stable")
-        q_sorted, qx_sorted = remaining[qo], qx[qo]
-        ro = np.argsort(rx, kind="stable")
-        r_sorted, rx_sorted = ref_idx[ro], rx[ro]
-        reach = r * 1.001 + 1e-12
-        chunk_q = _pick_slab_chunk(qx_sorted, rx_sorted, reach)
-        n_pairs = 0
-        for s in range(0, q_sorted.size, chunk_q):
-            qc = q_sorted[s:s + chunk_q]
-            lo_x = qx_sorted[s] - reach
-            hi_x = qx_sorted[min(s + chunk_q, qx_sorted.size) - 1] + reach
-            i0, i1 = np.searchsorted(rx_sorted, [lo_x, hi_x])
-            rc = r_sorted[i0:i1]
-            if rc.size == 0:
-                out[qc] = False
-                continue
-            n_pairs += qc.size * rc.size
-            d2 = _chunked_min_d2(Xf, qc, Xm, H0, _bucket_pad(rc))
-            out[qc] = d2 <= r2
-        _mark(
-            f"slab-join sweep ({remaining.size} queries x {n_kept} refs "
-            f"-> {n_pairs:.3g} pairs, axis {axis}, chunk {chunk_q})"
+        # Blocked 2-D slab join: restrict candidates along the TWO longest
+        # lattice axes and sweep every block in a handful of device
+        # programs. Exact per axis: a ref with |q_ax - r_ax| > radius
+        # (checked with relative slack covering f32 rounding of both
+        # coordinates and of the d2 accumulation) has d2 > r2 for every
+        # query in the block, so dropping it cannot change the predicate;
+        # every EXTRA row a slice or padding admits is a real movable
+        # point, which can only (correctly) lower the min.
+        _blocked_slab_join(
+            Xf, Xm, H0, remaining, ref_idx, plan, out, r2,
+            r * 1.001 + 1e-12, _mark,
         )
         return out
 

@@ -269,6 +269,7 @@ def test_slab_join_sweep_matches_brute(rng, monkeypatch):
     monkeypatch.setattr(dg, "_DIRECT_SWEEP_MAX", 1)
     monkeypatch.setattr(dg, "_SLAB_SWEEP_MIN", 1)
     monkeypatch.setattr(dg, "_SLAB_CHUNK_OPTS", (64, 256))
+    monkeypatch.setattr(dg, "_SLAB1_MIN", 16)  # force multi-block y splits
     r = 0.11
     Xf = rng.uniform(-1, 1, size=(3000, 3)) * np.array([4.0, 1.0, 1.0])
     Xm = rng.uniform(-1, 1, size=(2500, 3)) * np.array([4.0, 1.0, 1.0])
@@ -284,6 +285,7 @@ def test_slab_join_with_initial_transform(rng, monkeypatch):
     monkeypatch.setattr(dg, "_DIRECT_SWEEP_MAX", 1)
     monkeypatch.setattr(dg, "_SLAB_SWEEP_MIN", 1)
     monkeypatch.setattr(dg, "_SLAB_CHUNK_OPTS", (128,))
+    monkeypatch.setattr(dg, "_SLAB1_MIN", 32)
     r = 0.2
     Xf = rng.uniform(-1, 1, size=(2000, 3)) * np.array([1.0, 3.0, 1.0])
     Xm = rng.uniform(-1, 1, size=(2200, 3)) * np.array([1.0, 3.0, 1.0])
@@ -291,4 +293,23 @@ def test_slab_join_with_initial_transform(rng, monkeypatch):
     Xm0 = Xm @ H0[:3, :3].T + H0[:3, 3]
     np.testing.assert_array_equal(
         _dilate_mask(Xf, Xm, r, H0=H0), _brute_mask(Xf, Xm0, r)
+    )
+
+
+def test_blocked_slab_join_multi_call(rng, monkeypatch):
+    """Force the blocked 2-D slab join to split its blocks across MULTIPLE
+    device calls (tiny pair budget) — the group padding / result scatter
+    bookkeeping must stay bit-exact vs brute."""
+    from simpleicp_tpu.ops import dilate_gate as dg
+
+    monkeypatch.setattr(dg, "_DIRECT_SWEEP_MAX", 1)
+    monkeypatch.setattr(dg, "_SLAB_SWEEP_MIN", 1)
+    monkeypatch.setattr(dg, "_SLAB_CHUNK_OPTS", (128, 512))
+    monkeypatch.setattr(dg, "_SLAB1_MIN", 32)
+    monkeypatch.setattr(dg, "_SWEEP_PAIR_BUDGET", 1 << 16)
+    r = 0.09
+    Xf = rng.uniform(-1, 1, size=(5000, 3)) * np.array([5.0, 2.0, 1.0])
+    Xm = rng.uniform(-1, 1, size=(4000, 3)) * np.array([5.0, 2.0, 1.0])
+    np.testing.assert_array_equal(
+        _dilate_mask(Xf, Xm, r), _brute_mask(Xf, Xm, r)
     )
