@@ -550,6 +550,21 @@ def _gather_ref_coords2(Xm, H0, idx, *, axes):
 
 
 @jax.jit
+def _pack_bits(mask):
+    return jnp.packbits(mask)
+
+
+def _fetch_mask(mask_dev) -> np.ndarray:
+    """Fetch a device bool mask as PACKED bits (8x fewer bytes through the
+    tunnel — the post-big-program transfer stall is bandwidth-proportional,
+    so at 50M queries this turns three ~50 MB mask fetches into ~6 MB
+    each)."""
+    n = mask_dev.shape[0]
+    packed = np.asarray(_pack_bits(mask_dev))
+    return np.unpackbits(packed, count=n).astype(bool)
+
+
+@jax.jit
 def _gather_ref_rows(Xm, H0, idx):
     """Transformed movable rows by index — materializes the slab-ordered
     reference array the blocked sweep slices from."""
@@ -887,8 +902,8 @@ def overlap_mask_dilate(
 
     in_mask, band_mask = classify_queries(Xf, Xm, H0, plan=plan,
                                           Xm_host=Xm_host)
-    band_np = np.asarray(band_mask)
-    out = np.asarray(in_mask).copy()
+    band_np = _fetch_mask(band_mask)
+    out = _fetch_mask(in_mask)
     band_idx = np.nonzero(band_np)[0].astype(np.int32)
     _mark(f"classify (band {band_idx.size}/{band_np.size})")
     if band_idx.size == 0:
@@ -905,7 +920,7 @@ def overlap_mask_dilate(
         # Compact the reference side on the classify lattice: POSS-dilate
         # the band queries' occupancy and keep only refs whose cell it
         # reaches (one device program, see _compact_refs_device).
-        keep = np.asarray(
+        keep = _fetch_mask(
             _compact_refs_device(
                 Xf, jnp.asarray(_pow2_pad(remaining)), Xm, H0, plan=plan
             )
