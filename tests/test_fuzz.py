@@ -21,12 +21,13 @@ def test_random_config_never_nan(seed):
         [xy2, 0.3 * np.sin(2 * xy2[:, 0]) + 0.1 * xy2[:, 1] ** 2]
     ) - rng.uniform(-0.1, 0.1, 3)
 
+    gated = rng.random() < 0.5
     cfg = IcpConfig(
         correspondences=int(rng.integers(6, 200)),
         neighbors=int(rng.integers(3, min(9, n1))),
         min_planarity=float(rng.uniform(0.0, 0.6)),
         max_overlap_distance=(
-            float(rng.uniform(0.3, 2.0)) if rng.random() < 0.5 else np.inf
+            float(rng.uniform(0.3, 2.0)) if gated else np.inf
         ),
         min_change=float(rng.uniform(0.1, 5.0)),
         max_iterations=int(rng.integers(1, 25)),
@@ -35,6 +36,9 @@ def test_random_config_never_nan(seed):
         mad_scale=float(rng.choice([1.0, 1.4826])),
         solver=str(rng.choice(["nonlinear", "linearized"])),
         gate_method=str(rng.choice(["auto", "brute", "grid", "dilate"])),
+        # radius-bounded grid matcher: needs a radius source (gate or
+        # explicit); may legitimately drop out-of-radius correspondences
+        match_method=str(rng.choice(["brute", "grid"])) if gated else "brute",
     )
     obs = rng.uniform(-0.05, 0.05, 6)
     w = np.zeros(6)
