@@ -104,6 +104,32 @@ def test_native_parser_if_built(tmp_path, rng):
         read_xyz_native(str(bad))
 
 
+def test_native_parser_parallel_path(tmp_path, rng):
+    """Files above the 4 MB chunking threshold take the multithreaded parse
+    (per-thread line-aligned chunks): same values, same first-error line
+    number as the serial contract."""
+    try:
+        from simpleicp_tpu.native import read_xyz_native
+    except ImportError:
+        pytest.skip("native parser not built")
+    n = 200_000  # ~6 MB at %.6f > 4 MB parallel threshold
+    X = np.round(rng.uniform(-1000.0, 1000.0, (n, 3)), 6)
+    f = tmp_path / "big.xyz"
+    with open(f, "w") as fh:
+        fh.write("//X Y Z\n")
+        np.savetxt(fh, X, fmt="%.6f")
+    assert f.stat().st_size > (4 << 20)
+    got = read_xyz_native(str(f))
+    assert got.shape == (n, 3)
+    np.testing.assert_allclose(got, X, atol=1e-9)  # 2 ULP fast-path rounding
+    # A malformed line deep in the file reports its exact 1-based global
+    # line number (header + n points + 1).
+    with open(f, "a") as fh:
+        fh.write("not a point\n")
+    with pytest.raises(XyzIOError, match=rf"line {n + 2}"):
+        read_xyz_native(str(f))
+
+
 def test_cli_gate_method_flag(tmp_path, capsys):
     """--gate-method routes the overlap gate engine; 'dilate' must produce
     the same registration as the default on a gated run."""
