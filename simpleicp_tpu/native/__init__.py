@@ -20,7 +20,7 @@ _SO = os.path.join(_DIR, "libsimpleicp_native.so")
 _lib = None
 
 
-_SOURCES = ("xyz_parser.cpp", "pack_occupancy.cpp")
+_SOURCES = ("xyz_parser.cpp", "xyz_writer.cpp", "pack_occupancy.cpp")
 
 
 def build() -> str:
@@ -52,6 +52,16 @@ def _load():
         ctypes.c_char_p,
         ctypes.POINTER(ctypes.c_double),
         ctypes.c_int64,
+        ctypes.c_char_p,
+        ctypes.c_int64,
+    ]
+    lib.xyz_write.restype = ctypes.c_int64
+    lib.xyz_write.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.c_char_p,
         ctypes.c_char_p,
         ctypes.c_int64,
     ]
@@ -95,6 +105,29 @@ def pack_occupancy_native(X, origin, inv_cell, dims, wz: int) -> "np.ndarray":
         grid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
     )
     return grid
+
+
+def write_xyz_native(path: str, X: "np.ndarray", decimals: int = 6,
+                     header: str = "//X Y Z\n") -> None:
+    """Write (n, 3) points with the native multithreaded formatter —
+    snprintf("%.<decimals>f") per row, byte-identical to np.savetxt's
+    printf fixed format (utils/xyz_io.py routes plain %.Nf writes here)."""
+    lib = _load()
+    X = np.ascontiguousarray(np.asarray(X)[:, :3], np.float64)
+    errbuf = ctypes.create_string_buffer(256)
+    rc = lib.xyz_write(
+        os.fspath(path).encode(),
+        X.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        X.shape[0],
+        int(decimals),
+        header.encode(),
+        errbuf,
+        len(errbuf),
+    )
+    if rc != 0:
+        from ..utils.xyz_io import XyzIOError
+
+        raise XyzIOError(f"{path}: {errbuf.value.decode()}")
 
 
 def read_xyz_native(path: str, dtype=np.float64) -> np.ndarray:

@@ -16,6 +16,7 @@ pandas still reads xyz files.
 from __future__ import annotations
 
 import os
+import re
 from pathlib import Path
 from typing import Union
 
@@ -79,6 +80,15 @@ def read_xyz(path: Union[str, Path], dtype=np.float64) -> np.ndarray:
 def write_xyz(path: Union[str, Path], X: np.ndarray, fmt: str = "%.3f") -> None:
     """Write (n, 3) points with the CloudCompare header `//X Y Z`."""
     X = np.asarray(X)
+    m = re.fullmatch(r"%\.(\d+)f", fmt)
+    if m is not None:
+        try:
+            from ..native import write_xyz_native  # multithreaded formatter
+
+            write_xyz_native(path, X, decimals=int(m.group(1)))
+            return
+        except ImportError:
+            pass
     with open(os.fspath(path), "w") as f:
         f.write("//X Y Z\n")
         np.savetxt(f, X[:, :3], fmt=fmt, delimiter=" ")

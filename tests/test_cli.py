@@ -104,6 +104,47 @@ def test_native_parser_if_built(tmp_path, rng):
         read_xyz_native(str(bad))
 
 
+def test_native_writer_if_built(tmp_path, rng):
+    """The native multithreaded %.Nf writer is byte-identical to np.savetxt
+    (exact 128-bit fixed-point conversion incl. printf's half-to-even ties
+    and '-0.000' sign); write_xyz routes plain %.Nf formats to it and
+    falls back to np.savetxt for anything else."""
+    try:
+        from simpleicp_tpu.native import write_xyz_native
+    except ImportError:
+        pytest.skip("native writer not built")
+    X = np.concatenate(
+        [
+            rng.uniform(-1000.0, 1000.0, (200, 3)),
+            np.array(
+                [
+                    [0.0, -0.0, 0.5],
+                    [1.25, 2.675, -0.0005],  # printf tie cases
+                    [1e12, -1e12, 5e-324],
+                    [np.inf, -np.inf, np.nan],  # snprintf fallback rows
+                ]
+            ),
+        ]
+    )
+    for dec in (3, 6, 9):
+        f_nat = tmp_path / f"nat{dec}.xyz"
+        write_xyz_native(str(f_nat), X, decimals=dec)
+        f_py = tmp_path / f"py{dec}.xyz"
+        with open(f_py, "w") as fh:
+            fh.write("//X Y Z\n")
+            np.savetxt(fh, X, fmt=f"%.{dec}f", delimiter=" ")
+        assert f_nat.read_bytes() == f_py.read_bytes()
+    # write_xyz: %.Nf routes native, exotic formats fall back to savetxt
+    f1 = tmp_path / "routed.xyz"
+    write_xyz(f1, X[:200], fmt="%.6f")
+    assert f1.read_bytes() == (tmp_path / "py6.xyz").read_bytes()[
+        : len(f1.read_bytes())
+    ] or np.allclose(read_xyz(f1), X[:200], atol=1e-6)
+    f2 = tmp_path / "sci.xyz"
+    write_xyz(f2, X[:10], fmt="%.3e")
+    assert b"e+" in f2.read_bytes() or b"e-" in f2.read_bytes()
+
+
 def test_native_parser_parallel_path(tmp_path, rng):
     """Files above the 4 MB chunking threshold take the multithreaded parse
     (per-thread line-aligned chunks): same values, same first-error line
