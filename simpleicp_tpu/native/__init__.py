@@ -20,7 +20,12 @@ _SO = os.path.join(_DIR, "libsimpleicp_native.so")
 _lib = None
 
 
-_SOURCES = ("xyz_parser.cpp", "xyz_writer.cpp", "pack_occupancy.cpp")
+_SOURCES = (
+    "xyz_parser.cpp",
+    "xyz_writer.cpp",
+    "pack_occupancy.cpp",
+    "argsort.cpp",
+)
 
 
 def build() -> str:
@@ -55,6 +60,17 @@ def _load():
         ctypes.c_char_p,
         ctypes.c_int64,
     ]
+    for name, cfloat in (
+        ("argsort_f32", ctypes.c_float),
+        ("argsort_f64", ctypes.c_double),
+    ):
+        fn = getattr(lib, name)
+        fn.restype = None
+        fn.argtypes = [
+            ctypes.POINTER(cfloat),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
     lib.xyz_write.restype = ctypes.c_int64
     lib.xyz_write.argtypes = [
         ctypes.c_char_p,
@@ -105,6 +121,30 @@ def pack_occupancy_native(X, origin, inv_cell, dims, wz: int) -> "np.ndarray":
         grid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
     )
     return grid
+
+
+def argsort_native(keys: "np.ndarray") -> "np.ndarray":
+    """Stable ascending argsort of a 1-D f32/f64 array (parallel LSD radix,
+    argsort.cpp). Tie order matches numpy kind='stable' except -0.0 sorts
+    before +0.0 and NaNs by bit pattern — callers must be tie-order
+    independent (the slab join only needs nondecreasing keys)."""
+    lib = _load()
+    keys = np.ascontiguousarray(keys)
+    if keys.dtype == np.float32:
+        fn, ct = lib.argsort_f32, ctypes.c_float
+    elif keys.dtype == np.float64:
+        fn, ct = lib.argsort_f64, ctypes.c_double
+    else:
+        raise TypeError(f"unsupported dtype {keys.dtype}")
+    if keys.shape[0] >= (1 << 31):
+        raise ValueError("argsort_native is int32-indexed")
+    out = np.empty(keys.shape[0], np.int32)
+    fn(
+        keys.ctypes.data_as(ctypes.POINTER(ct)),
+        keys.shape[0],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return out
 
 
 def write_xyz_native(path: str, X: "np.ndarray", decimals: int = 6,

@@ -313,3 +313,27 @@ def test_blocked_slab_join_multi_call(rng, monkeypatch):
     np.testing.assert_array_equal(
         _dilate_mask(Xf, Xm, r), _brute_mask(Xf, Xm, r)
     )
+
+
+def test_native_argsort_matches_numpy(rng):
+    """The native parallel radix argsort (slab-join planning) returns the
+    exact stable permutation numpy produces, including heavy duplicates
+    and +/-inf. (-0.0/+0.0 tie order is documented to differ; coordinate
+    planning never hits signed zeros on both sides of a tie.)"""
+    try:
+        from simpleicp_tpu.native import argsort_native
+    except ImportError:
+        pytest.skip("native library not built")
+    for dt in (np.float32, np.float64):
+        x = rng.uniform(-300.0, 300.0, 200_000).astype(dt)
+        np.testing.assert_array_equal(
+            argsort_native(x), np.argsort(x, kind="stable")
+        )
+        dup = rng.integers(0, 37, 100_000).astype(dt)
+        np.testing.assert_array_equal(
+            argsort_native(dup), np.argsort(dup, kind="stable")
+        )
+    x = np.array([3.0, -np.inf, np.inf, -3.0, 0.0, 2.5, -2.5, np.inf])
+    np.testing.assert_array_equal(
+        argsort_native(x), np.argsort(x, kind="stable")
+    )
