@@ -559,9 +559,18 @@ def _fetch_mask(mask_dev) -> np.ndarray:
     tunnel — the post-big-program transfer stall is bandwidth-proportional,
     so at 50M queries this turns three ~50 MB mask fetches into ~6 MB
     each)."""
-    n = mask_dev.shape[0]
-    packed = np.asarray(_pack_bits(mask_dev))
-    return np.unpackbits(packed, count=n).astype(bool)
+    return _fetch_masks(mask_dev)[0]
+
+
+def _fetch_masks(*masks) -> list:
+    """Fetch several device bool masks: enqueue EVERY pack program before
+    the first blocking host read, so later packs run while earlier bytes
+    are in flight (dispatch is async; np.asarray is the barrier)."""
+    packed = [_pack_bits(m) for m in masks]
+    return [
+        np.unpackbits(np.asarray(p), count=m.shape[0]).astype(bool)
+        for p, m in zip(packed, masks)
+    ]
 
 
 @jax.jit
@@ -918,8 +927,7 @@ def overlap_mask_dilate(
 
     in_mask, band_mask = classify_queries(Xf, Xm, H0, plan=plan,
                                           Xm_host=Xm_host)
-    band_np = _fetch_mask(band_mask)
-    out = _fetch_mask(in_mask)
+    band_np, out = _fetch_masks(band_mask, in_mask)
     band_idx = np.nonzero(band_np)[0].astype(np.int32)
     _mark(f"classify (band {band_idx.size}/{band_np.size})")
     if band_idx.size == 0:
