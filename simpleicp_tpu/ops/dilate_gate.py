@@ -837,47 +837,53 @@ def _blocked_slab_join(Xf, Xm, H0, remaining: np.ndarray,
         _mark("blocked slab join (all windows empty)")
         return
 
-    W = _bucket_size(max(blocks_fill))
-    M_pad = max(_bucket_size(m_off), W)
+    fills = np.asarray(blocks_fill, np.int64)
+    W_max = _bucket_size(int(fills.max()))
+    M_pad = max(_bucket_size(m_off), W_max)
     cat_idx = np.zeros(M_pad, np.int32)
     cat_idx[:m_off] = np.concatenate(cat_parts)
     Rsorted = _gather_ref_rows(Xm, H0, jnp.asarray(cat_idx))
-    starts_np = np.minimum(
-        np.asarray(blocks_start, np.int32), np.int32(M_pad - W)
-    )
+    starts_np = np.asarray(blocks_start, np.int32)
 
     B = len(blocks_q)
     QB = np.zeros((B, S1), np.int32)
     for b, qc in enumerate(blocks_q):
         QB[b, : qc.size] = qc
 
-    # Split into device calls under the pair budget; bucket each call's
-    # block count (padded blocks sweep query 0 vs slice 0 — real data,
-    # results discarded).
-    group = max(1, int(_SWEEP_PAIR_BUDGET // max(S1 * W, 1)))
+    # Split into device calls under the pair budget, ordering blocks by
+    # DESCENDING candidate count so each call's slice width W_g buckets the
+    # widest block IN THAT CALL rather than the global maximum — a single
+    # dense region no longer pads every sparse block's sweep to its width.
+    # Block counts are bucketed too (padded blocks sweep query 0 vs slice
+    # 0 — real data, results discarded).
+    order = np.argsort(-fills, kind="stable")
     n_pairs = 0
     n_calls = 0
-    for g in range(0, B, group):
-        ge = min(g + group, B)
-        gb = _block_bucket(ge - g)
+    pos = 0
+    while pos < B:
+        W_g = _bucket_size(int(fills[order[pos]]))
+        group = max(1, int(_SWEEP_PAIR_BUDGET // max(S1 * W_g, 1)))
+        sel = order[pos: pos + group]
+        pos += sel.size
+        gb = _block_bucket(sel.size)
         QBg = np.zeros((gb, S1), np.int32)
-        QBg[: ge - g] = QB[g:ge]
+        QBg[: sel.size] = QB[sel]
         stg = np.zeros(gb, np.int32)
-        stg[: ge - g] = starts_np[g:ge]
+        stg[: sel.size] = np.minimum(starts_np[sel], np.int32(M_pad - W_g))
         d2 = np.asarray(
             _min_d2_sliced_blocks(
-                Xf, jnp.asarray(QBg), jnp.asarray(stg), Rsorted, W=W
+                Xf, jnp.asarray(QBg), jnp.asarray(stg), Rsorted, W=W_g
             )
         )
         n_calls += 1
-        n_pairs += gb * S1 * W
-        for b in range(g, ge):
+        n_pairs += gb * S1 * W_g
+        for k, b in enumerate(sel):
             qc = blocks_q[b]
-            out[qc] = d2[b - g, : qc.size] <= r2
+            out[qc] = d2[k, : qc.size] <= r2
     _mark(
         f"blocked slab join ({remaining.size} queries x {ref_idx.size} refs"
-        f" -> {B} blocks (S0 {S0}, S1 {S1}, W {W}), {n_pairs:.3g} padded"
-        f" pairs, {n_calls} calls, axes {axes})"
+        f" -> {B} blocks (S0 {S0}, S1 {S1}, W_max {W_max}), {n_pairs:.3g}"
+        f" padded pairs, {n_calls} calls, axes {axes})"
     )
 
 
