@@ -315,6 +315,32 @@ def test_blocked_slab_join_multi_call(rng, monkeypatch):
     )
 
 
+def test_blocked_slab_join_skewed_density(rng, monkeypatch):
+    """Density-skewed clouds (one dense cluster + a sparse field) drive the
+    per-call slice-width buckets: block candidate counts span orders of
+    magnitude, so the fill-sorted grouping issues calls with DIFFERENT W_g
+    shapes — the scatter of results back through the sort permutation must
+    stay bit-exact vs brute."""
+    from simpleicp_tpu.ops import dilate_gate as dg
+
+    monkeypatch.setattr(dg, "_DIRECT_SWEEP_MAX", 1)
+    monkeypatch.setattr(dg, "_SLAB_SWEEP_MIN", 1)
+    monkeypatch.setattr(dg, "_SLAB_CHUNK_OPTS", (256,))
+    monkeypatch.setattr(dg, "_SLAB1_MIN", 16)
+    monkeypatch.setattr(dg, "_SWEEP_PAIR_BUDGET", 1 << 15)
+    r = 0.12
+    dense = rng.normal(0.0, 0.03, size=(2500, 3)) + np.array([3.0, 0.2, 0.0])
+    sparse = rng.uniform(-1, 1, size=(1500, 3)) * np.array([4.0, 1.0, 1.0])
+    Xm = np.concatenate([dense, sparse])
+    Xf = np.concatenate([
+        rng.normal(0.0, 0.05, size=(800, 3)) + np.array([3.0, 0.2, 0.0]),
+        rng.uniform(-1, 1, size=(1200, 3)) * np.array([4.0, 1.0, 1.0]),
+    ])
+    np.testing.assert_array_equal(
+        _dilate_mask(Xf, Xm, r), _brute_mask(Xf, Xm, r)
+    )
+
+
 def test_native_argsort_matches_numpy(rng):
     """The native parallel radix argsort (slab-join planning) returns the
     exact stable permutation numpy produces, including heavy duplicates
