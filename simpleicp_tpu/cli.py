@@ -18,6 +18,11 @@ def build_parser() -> argparse.ArgumentParser:
         prog="simpleicp-tpu",
         description="TPU-native point-to-plane ICP registration",
     )
+    from . import __version__
+
+    p.add_argument(
+        "--version", action="version", version=f"%(prog)s {__version__}"
+    )
     p.add_argument("-f", "--fixed", required=True, help="path of fixed point cloud (xyz)")
     p.add_argument("-m", "--movable", required=True, help="path of movable point cloud (xyz)")
     p.add_argument("-c", "--correspondences", type=int, default=1000)
