@@ -1,10 +1,10 @@
 #!/usr/bin/env python
 """Measure the blocked 2-D slab join's sensitivity to the x-slab size S0.
 
-The production planner picks S0 from a 1-D cost model
-(dilate_gate._pick_slab_chunk) that predates the blocked join's
-y-restriction and shared lax.map programs; NEXT.md suspects larger slabs
-now win. This sweeps fixed S0 values (plus the model's own choice) over the
+The production planner picks S0 from a statistical 2-D cost model
+(dilate_gate._pick_slab_chunk_2d); its constants (VPU pair throughput,
+dispatch latency, host sort rate) are estimates until calibrated on
+hardware. This sweeps fixed S0 values (plus the model's own choice) over the
 GATE ONLY (overlap_mask_dilate, no ICP loop) on tiled-dragon clouds and
 reports wall time + the join's padded-pair/call diagnostics.
 

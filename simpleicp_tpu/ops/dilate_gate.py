@@ -669,13 +669,16 @@ _SWEEP_PAIR_BUDGET = 1 << 42
 # dynamic_slice windows of one slab-ordered ref array (no per-block
 # dispatch, no per-block gathers).
 _SLAB_SWEEP_MIN = 1 << 40
-# Candidate query-chunk sizes for the slab join. Smaller chunks narrow
-# each chunk's ref window (fewer pairs) but add per-chunk dispatch
-# latency; _pick_slab_chunk estimates both from the sorted coordinates
-# and picks the cheapest.
-_SLAB_CHUNK_OPTS = (1 << 13, 1 << 14, 1 << 15, 1 << 16, 1 << 17)
+# Candidate x-slab sizes for the blocked slab join. Smaller slabs narrow
+# each slab's ref x-window but multiply host planning (per-slab sorts);
+# the y-restriction inside each slab means large slabs no longer pay
+# proportionally more pairs — _pick_slab_chunk_2d models both axes from
+# the sorted coordinates and picks the cheapest.
+_SLAB_CHUNK_OPTS = (1 << 13, 1 << 14, 1 << 15, 1 << 16, 1 << 17, 1 << 18,
+                    1 << 19)
 _SLAB_PAIRS_PER_SEC = 2.0e11   # measured dense-sweep throughput (tq tiles)
-_SLAB_CALL_SEC = 0.035         # tunnel dispatch+fetch per chunk sweep
+_SLAB_CALL_SEC = 0.035         # tunnel dispatch+fetch per device program
+_SLAB_HOST_SORT_SEC = 3e-8     # native radix argsort, per element
 # Minimum y-sub-chunk size of the blocked 2-D slab join (the second
 # restriction axis). Tests lower it to exercise multi-block slabs.
 _SLAB1_MIN = 1 << 12
@@ -709,25 +712,65 @@ def _block_bucket(n: int) -> int:
     )
 
 
-def _pick_slab_chunk(qx_sorted: np.ndarray, rx_sorted: np.ndarray,
-                     reach: float) -> int:
-    """Choose the query-chunk size minimizing estimated sweep cost:
-    padded pairs / throughput + chunks * dispatch latency. All host-side
-    searchsorted arithmetic on the already-sorted coordinates."""
+def _slab1_of(S0: int) -> int:
+    """y-sub-chunk size paired with an x-slab size S0."""
+    return max(_SLAB1_MIN, min(S0 >> 4, 1 << 15))
+
+
+def _pick_slab_chunk_2d(qx_sorted: np.ndarray, qy: np.ndarray,
+                        rx_sorted: np.ndarray, ry: np.ndarray,
+                        reach: float) -> int:
+    """Choose the x-slab size S0 minimizing the blocked 2-D join's
+    estimated cost. All host-side numpy on the x-sorted coordinates
+    (`qy`/`ry` aligned with the sorted x arrays).
+
+    Per candidate S0, each slab's ref x-window comes from two
+    searchsorteds; the y-restriction inside the slab is modeled
+    statistically: a y-sub-chunk of S1 queries spans ~qy_span * S1/ns, so
+    its candidate run of the y-sorted window is ~w * (sub_span + 2*reach)
+    / ry_span under a roughly uniform y distribution (+15% for the
+    {2^k, 1.5*2^k} width buckets; the fill-sorted per-call W_g grouping
+    keeps real padding near that). Cost = padded pairs / VPU throughput
+    + device programs * dispatch + per-element host sort work. The old
+    1-D model (pairs without the y factor + one dispatch per slab)
+    predates the blocked join and systematically punished large slabs."""
     nq = qx_sorted.size
     best, best_cost = _SLAB_CHUNK_OPTS[-1], float("inf")
     for cq in _SLAB_CHUNK_OPTS:
+        S1 = _slab1_of(cq)
         starts = np.arange(0, nq, cq)
         ends = np.minimum(starts + cq, nq)
         lo = qx_sorted[starts] - reach
         hi = qx_sorted[ends - 1] + reach
         i0 = np.searchsorted(rx_sorted, lo)
         i1 = np.searchsorted(rx_sorted, hi)
-        pairs = sum(
-            int(e - s) * _bucket_size(int(b - a)) if b > a else 0
-            for s, e, a, b in zip(starts, ends, i0, i1)
+        pairs = 0.0
+        windows = 0
+        n_blocks = 0
+        for s, e, a, b in zip(starts, ends, i0, i1):
+            w = int(b - a)
+            if w <= 0:
+                continue
+            ns = int(e - s)
+            nblk = -(-ns // S1)
+            qy_s = qy[s:e]
+            ry_w = ry[a:b]
+            r_span = float(ry_w.max() - ry_w.min())
+            sub_span = (
+                float(qy_s.max() - qy_s.min()) * min(S1 / ns, 1.0)
+                + 2.0 * reach
+            )
+            frac = min(1.0, sub_span / r_span) if r_span > 0.0 else 1.0
+            pairs += nblk * S1 * min(float(w), 1.15 * w * frac)
+            windows += w
+            n_blocks += nblk
+        if n_blocks == 0:
+            return cq
+        cost = (
+            pairs / _SLAB_PAIRS_PER_SEC
+            + (pairs / _SWEEP_PAIR_BUDGET + 1.0) * _SLAB_CALL_SEC
+            + _SLAB_HOST_SORT_SEC * (windows + nq)
         )
-        cost = pairs / _SLAB_PAIRS_PER_SEC + starts.size * _SLAB_CALL_SEC
         if cost < best_cost:
             best, best_cost = cq, cost
     return best
@@ -797,8 +840,8 @@ def _blocked_slab_join(Xf, Xm, H0, remaining: np.ndarray,
     ro = _argsort_host(rx0)
     r_by_x, rx0_s, rx1_by_x = ref_idx[ro], rx0[ro], rx1[ro]
 
-    S0 = _pick_slab_chunk(qx0_s, rx0_s, reach)
-    S1 = max(_SLAB1_MIN, min(S0 >> 4, 1 << 15))
+    S0 = _pick_slab_chunk_2d(qx0_s, qx1_s, rx0_s, rx1_by_x, reach)
+    S1 = _slab1_of(S0)
 
     cat_parts = []          # per-slab y-sorted ref indices (movable rows)
     blocks_q = []           # per-block query indices (<= S1 each)
