@@ -341,6 +341,33 @@ def test_blocked_slab_join_skewed_density(rng, monkeypatch):
     )
 
 
+def test_slab_planner_edge_cases(rng):
+    """_pick_slab_chunk_2d must return a candidate size and survive
+    degenerate geometry: constant-y reference windows (r_span=0), fully
+    disjoint x ranges (every window empty -> early return), and query
+    sets smaller than the smallest slab."""
+    from simpleicp_tpu.ops import dilate_gate as dg
+
+    qx = np.sort(rng.uniform(0, 100, 300_000))
+    qy = rng.uniform(0, 30, 300_000)
+    rx = np.sort(rng.uniform(0, 100, 250_000))
+    ry = rng.uniform(0, 30, 250_000)
+    assert dg._pick_slab_chunk_2d(qx, qy, rx, ry, 0.05) in dg._SLAB_CHUNK_OPTS
+    assert (
+        dg._pick_slab_chunk_2d(qx, qy, rx, np.zeros_like(ry), 0.05)
+        in dg._SLAB_CHUNK_OPTS
+    )
+    # disjoint: no slab sees any ref; the planner must not divide by zero
+    assert (
+        dg._pick_slab_chunk_2d(qx, qy, rx + 1000.0, ry, 0.05)
+        in dg._SLAB_CHUNK_OPTS
+    )
+    assert (
+        dg._pick_slab_chunk_2d(qx[:100], qy[:100], rx, ry, 0.05)
+        in dg._SLAB_CHUNK_OPTS
+    )
+
+
 def test_native_argsort_matches_numpy(rng):
     """The native parallel radix argsort (slab-join planning) returns the
     exact stable permutation numpy produces, including heavy duplicates
