@@ -42,6 +42,9 @@ step slab_s0_12p5 1800 python scripts/diag_slab_s0.py \
 step gated_12p5 1200 python scripts/bench_gated_scale.py \
   --sizes 12.5e6 --out "$OUT/gated_12p5.json"
 
+# 4b. in-loop matcher ref_tile sweep at scale (auto-cap calibration)
+step rt_scale 1500 python scripts/diag_rt_scale.py --n 12.5e6,50e6
+
 # 5. the real 50M case: S0 model choice vs one fixed alternative
 step slab_s0_50 2400 python scripts/diag_slab_s0.py --n 50e6 --s0 auto,131072
 
