@@ -52,4 +52,7 @@ step slab_s0_50 2400 python scripts/diag_slab_s0.py --n 50e6 --s0 auto,131072
 step gated_50 2400 python scripts/bench_gated_scale.py \
   --sizes 50e6 --repeats 1 --out "$OUT/gated_50.json"
 
+# 7. upload-stall A/B (last: leaves the worker in a post-big-job state)
+step upload_stall 1800 python scripts/diag_upload_stall.py --n 12.5e6
+
 echo "ALL DONE ($(date +%T))" | tee -a "$OUT/driver.log"
