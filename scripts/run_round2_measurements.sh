@@ -42,6 +42,11 @@ step slab_s0_12p5 1800 python scripts/diag_slab_s0.py \
 step gated_12p5 1200 python scripts/bench_gated_scale.py \
   --sizes 12.5e6 --out "$OUT/gated_12p5.json"
 
+# 4a. lattice-resolution sensitivity: is finest-fitting cell_div optimal
+# now that the slab join made band resolution cheap?
+step cell_div_12p5 1800 python scripts/diag_cell_div.py \
+  --n 12.5e6 --divs 16,8,4
+
 # 4b. in-loop matcher ref_tile sweep at scale (auto-cap calibration)
 step rt_scale 1500 python scripts/diag_rt_scale.py --n 12.5e6,50e6
 
