@@ -26,11 +26,11 @@ def _brute_mask(Xf, Xm0, r):
     return d2 <= r * r
 
 
-def _dilate_mask(Xf, Xm, r, H0=None, host_copy=False):
+def _dilate_mask(Xf, Xm, r, H0=None, host_copy=False, cell_div=None):
     if H0 is None:
         H0 = np.eye(4)
     plan = plan_dilate_gate(
-        Xf, Xm @ H0[:3, :3].T + H0[:3, 3], r
+        Xf, Xm @ H0[:3, :3].T + H0[:3, 3], r, cell_div=cell_div
     )
     assert plan is not None
     return overlap_mask_dilate(
@@ -45,6 +45,19 @@ def test_random_clouds_match_brute(rng, r):
     Xm = rng.uniform(-1, 1, size=(3000, 3)) + np.array([0.4, 0.0, 0.0])
     np.testing.assert_array_equal(
         _dilate_mask(Xf, Xm, r), _brute_mask(Xf, Xm, r)
+    )
+
+
+@pytest.mark.parametrize("cell_div", [8, 4, 2])
+def test_coarse_lattices_match_brute(rng, cell_div):
+    """Exactness must hold at every lattice resolution, not just the
+    finest-fitting one the auto planner picks (coarse lattices = thicker
+    exactly-resolved band, same predicate)."""
+    r = 0.13
+    Xf = rng.uniform(-1, 1, size=(4000, 3))
+    Xm = rng.uniform(-1, 1, size=(3000, 3)) + np.array([0.4, 0.0, 0.0])
+    np.testing.assert_array_equal(
+        _dilate_mask(Xf, Xm, r, cell_div=cell_div), _brute_mask(Xf, Xm, r)
     )
 
 
