@@ -285,6 +285,35 @@ def _pack_occupancy_device(P, *, plan: DilatePlan):
     return zero.at[tgt].add(val, mode="drop")
 
 
+@functools.partial(jax.jit, static_argnames=("plan",))
+def _pack_occupancy_device_masked(P, mask, *, plan: DilatePlan):
+    """Occupancy pack of the SUBSET of `P` where `mask` is true, without a
+    host-side compaction of the indices: masked-out rows are routed to the
+    out-of-bounds word (dropped by the scatter), so the result is bit-equal
+    to packing the gathered subset. This keeps the whole band-ref
+    compaction dispatchable from a device mask alone — no host fetch,
+    nonzero, or index upload on the critical path."""
+    dims = plan.dims
+    k = _cells_of(
+        P, jnp.asarray(plan.origin, P.dtype),
+        jnp.asarray(plan.inv_cell, P.dtype), dims,
+    )
+    widx = (
+        (k[:, 2] >> 5) * (dims[0] * dims[1])
+        + k[:, 0] * dims[1] + k[:, 1]
+    )
+    widx = jnp.where(mask, widx, jnp.int32(plan.n_words))
+    bit = k[:, 2] & 31
+    ws, bs = lax.sort((widx, bit), num_keys=2)
+    dup = jnp.concatenate([
+        jnp.zeros((1,), bool), (ws[1:] == ws[:-1]) & (bs[1:] == bs[:-1]),
+    ])
+    val = jnp.where(dup, jnp.uint32(0), jnp.uint32(1) << bs.astype(jnp.uint32))
+    tgt = jnp.where(dup, jnp.int32(plan.n_words), ws)
+    zero = jnp.zeros(plan.n_words, jnp.uint32)
+    return zero.at[tgt].add(val, mode="drop")
+
+
 def _zshift_up(occ, k):
     """Packed occupancy shifted +k cells along z (k static, 1 <= k < 32):
     in-word bit shift + carry bits from the -z neighbor word. The first
@@ -452,7 +481,8 @@ _DEVICE_PACK = True
 
 
 def classify_queries(Xf, Xm, H0, *, plan: DilatePlan,
-                     Xm_host: Optional[np.ndarray] = None):
+                     Xm_host: Optional[np.ndarray] = None,
+                     block: bool = True):
     """Full classify: pack the transformed movable cloud's occupancy and run
     the packed dilation classify, all on device (`_pack_occupancy_device`) —
     no cloud fetch, no grid upload.
@@ -463,7 +493,9 @@ def classify_queries(Xf, Xm, H0, *, plan: DilatePlan,
     cloud as three flat columns. Host-vs-device packs agree up to a few-ulp
     binning slop that the plan margin absorbs (see plan_dilate_gate).
 
-    Returns (in_mask, band_mask) device arrays.
+    Returns (in_mask, band_mask) device arrays. `block=False` skips the
+    barrier (and the per-stage timing log) so the caller can enqueue
+    dependent device programs behind the classify without a host roundtrip.
     """
     import logging
     import time
@@ -484,7 +516,10 @@ def classify_queries(Xf, Xm, H0, *, plan: DilatePlan,
         t1 = time.perf_counter()
         occ_dev = jnp.asarray(pack_occupancy(Xm0, plan, Xf.dtype))
         t2 = time.perf_counter()
-    out = jax.block_until_ready(_classify_packed(Xf, occ_dev, plan=plan))
+    out = _classify_packed(Xf, occ_dev, plan=plan)
+    if not block:
+        return out
+    out = jax.block_until_ready(out)
     t3 = time.perf_counter()
     log.debug(
         "dilate gate:   classify detail: obtain Xm0 %.2fs, pack %.2fs, "
@@ -496,7 +531,7 @@ def classify_queries(Xf, Xm, H0, *, plan: DilatePlan,
 
 
 @functools.partial(jax.jit, static_argnames=("plan",))
-def _compact_refs_device(Xf, band_idx, Xm, H0, *, plan: DilatePlan):
+def _compact_refs_device(Xf, band_mask, Xm, H0, *, plan: DilatePlan):
     """Device, one program, on the CLASSIFY lattice: mark each (transformed)
     movable point that could be within `radius` of ANY band query — pack
     the band queries' own occupancy, POSS-dilate it, bit-test each ref's
@@ -513,11 +548,11 @@ def _compact_refs_device(Xf, band_idx, Xm, H0, *, plan: DilatePlan):
     cloud); `_cells_of` clamps them to the border. Clamping moves the
     query's cell TOWARD any in-grid ref cell along each axis, and
     crit_poss is monotone in per-axis |offset|, so the filter stays
-    conservative. `band_idx` is pow2-padded with index 0 — a real query,
-    so padding only keeps a few extra refs near Xf[0].
+    conservative. Taking the band MASK (not gathered indices) lets the
+    caller enqueue this program directly behind the classify, before any
+    mask bytes reach the host.
     """
-    band_q = Xf[jnp.clip(band_idx, 0, Xf.shape[0] - 1)]
-    occ_b = _pack_occupancy_device(band_q, plan=plan)
+    occ_b = _pack_occupancy_device_masked(Xf, band_mask, plan=plan)
     dims = plan.dims
     poss_b = _dilate_packed(
         occ_b.reshape(plan.wz, dims[0], dims[1]), plan.poss_offsets
@@ -780,6 +815,14 @@ def _pick_slab_chunk_2d(qx_sorted: np.ndarray, qy: np.ndarray,
 # (2.45e12 band pairs): direct sweep 6.9 s vs compaction ~2 s + 0.9 s
 # sweep on the 814k kept refs (masks identical).
 _DIRECT_SWEEP_MAX = 1 << 41
+# Expected band fraction of the query cloud after the packed classify at
+# the production cell_div=16 lattice (measured ~1.6-3% on tiled-dragon
+# 12.5M-100M clouds). Used ONLY to decide whether to dispatch the band-ref
+# compaction speculatively, pipelined behind the classify before any mask
+# bytes reach the host; a wrong guess costs at most one ~2 s device
+# program (over-trigger) or falls back to the sequential dispatch
+# (under-trigger) — never correctness.
+_BAND_FRAC_EST = 0.02
 
 
 def _chunked_min_d2(Xf, q_idx: np.ndarray, Xm, H0,
@@ -974,11 +1017,29 @@ def overlap_mask_dilate(
         log.debug("dilate gate: %s %.2fs", label, t1 - t0)
         t0 = t1
 
-    in_mask, band_mask = classify_queries(Xf, Xm, H0, plan=plan,
-                                          Xm_host=Xm_host)
-    band_np, out = _fetch_masks(band_mask, in_mask)
+    n_refs = Xm.shape[0]
+    # Speculative pipelining: when even a typical-fraction band would
+    # exceed the direct-sweep budget, enqueue the band-ref compaction
+    # directly behind the classify (it consumes the band mask on device)
+    # so its ~2 s of device time runs while the classify masks stream to
+    # the host — instead of after fetch + nonzero + index re-upload.
+    speculate = (
+        Xf.shape[0] * _BAND_FRAC_EST * n_refs > _DIRECT_SWEEP_MAX
+    )
+    in_mask, band_mask = classify_queries(
+        Xf, Xm, H0, plan=plan, Xm_host=Xm_host, block=not speculate
+    )
+    if speculate:
+        keep_dev = _compact_refs_device(Xf, band_mask, Xm, H0, plan=plan)
+        band_np, out, keep = _fetch_masks(band_mask, in_mask, keep_dev)
+    else:
+        band_np, out = _fetch_masks(band_mask, in_mask)
+        keep = None
     band_idx = np.nonzero(band_np)[0].astype(np.int32)
-    _mark(f"classify (band {band_idx.size}/{band_np.size})")
+    _mark(
+        f"classify (band {band_idx.size}/{band_np.size}"
+        f"{', pipelined ref compaction' if speculate else ''})"
+    )
     if band_idx.size == 0:
         return out
 
@@ -988,16 +1049,13 @@ def overlap_mask_dilate(
 
     remaining = band_idx
     ref_idx = None
-    n_refs = Xm.shape[0]
-    if remaining.size * n_refs > _DIRECT_SWEEP_MAX:
-        # Compact the reference side on the classify lattice: POSS-dilate
-        # the band queries' occupancy and keep only refs whose cell it
-        # reaches (one device program, see _compact_refs_device).
+    if keep is None and remaining.size * n_refs > _DIRECT_SWEEP_MAX:
+        # Speculation under-triggered: compact the reference side now
+        # (sequential dispatch, see _compact_refs_device).
         keep = _fetch_mask(
-            _compact_refs_device(
-                Xf, jnp.asarray(_pow2_pad(remaining)), Xm, H0, plan=plan
-            )
+            _compact_refs_device(Xf, band_mask, Xm, H0, plan=plan)
         )
+    if keep is not None:
         ref_idx = np.nonzero(keep)[0].astype(np.int32)
         _mark(
             f"band-ref compaction ({ref_idx.size}/{n_refs} refs kept)"

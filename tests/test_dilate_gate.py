@@ -257,6 +257,50 @@ def test_band_ref_compaction_exact(rng, monkeypatch):
     )
 
 
+def test_masked_pack_matches_subset_pack(rng):
+    """_pack_occupancy_device_masked(P, mask) must equal packing the
+    host-gathered subset P[mask] bit for bit — it is what lets the band-ref
+    compaction consume the classify's band mask on device, without the
+    host nonzero + index re-upload on the critical path."""
+    from simpleicp_tpu.ops import dilate_gate as dg
+
+    P = rng.uniform(-1, 1, size=(5000, 3))
+    mask = rng.uniform(size=5000) < 0.3
+    plan = plan_dilate_gate(P, P, 0.1)
+    got = np.asarray(
+        dg._pack_occupancy_device_masked(
+            jnp.asarray(P), jnp.asarray(mask), plan=plan
+        )
+    )
+    want = np.asarray(
+        dg._pack_occupancy_device(jnp.asarray(P[mask]), plan=plan)
+    )
+    np.testing.assert_array_equal(got, want)
+    # empty mask packs an empty grid
+    none = np.asarray(
+        dg._pack_occupancy_device_masked(
+            jnp.asarray(P), jnp.zeros(5000, bool), plan=plan
+        )
+    )
+    assert not none.any()
+
+
+def test_compaction_sequential_fallback_exact(rng, monkeypatch):
+    """When the speculative pipelined dispatch under-triggers
+    (_BAND_FRAC_EST estimate too low) the compaction must still run via the
+    sequential path and stay bit-exact vs brute."""
+    from simpleicp_tpu.ops import dilate_gate
+
+    monkeypatch.setattr(dilate_gate, "_DIRECT_SWEEP_MAX", 0)
+    monkeypatch.setattr(dilate_gate, "_BAND_FRAC_EST", 0.0)
+    r = 0.13
+    Xf = rng.uniform(-1, 1, size=(4000, 3))
+    Xm = rng.uniform(-1, 1, size=(3000, 3)) + np.array([0.4, 0.0, 0.0])
+    np.testing.assert_array_equal(
+        _dilate_mask(Xf, Xm, r), _brute_mask(Xf, Xm, r)
+    )
+
+
 def test_far_queries_clip_to_rejection(rng):
     """Grid covers only the movable bbox; fixed points far outside it must
     clip to the never-POSS border and classify as rejected, while the
