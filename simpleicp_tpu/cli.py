@@ -3,7 +3,8 @@
 Flag names, short options, defaults, and semantics follow the reference CLIs
 (/root/reference/c++/src/simpleicp-cli.cpp:15-35, /root/reference/rust/src/main.rs:10-46),
 including "negative max_overlap_distance disables the gate". TPU-build
-extensions: --solver, --export, --num-devices (sharded run).
+extensions: --solver, --export, --num-devices (sharded run), --device
+(size-based CPU/accelerator routing, utils/device_policy.py).
 """
 
 from __future__ import annotations
@@ -71,6 +72,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="shard the registration over this many devices (0 = single-chip)",
     )
     p.add_argument(
+        "--device", choices=("auto", "cpu", "tpu"), default="auto",
+        help="where to run: auto routes small registrations to the local "
+             "CPU backend (skipping accelerator compile + dispatch "
+             "latency, crossover ~1.4e10 distance pairs) and large ones "
+             "to the accelerator; cpu/tpu force a backend",
+    )
+    p.add_argument(
         "--approx-knn", action="store_true",
         help="hardware-assisted approximate kNN for normal estimation "
              "(TPU serving config; ~30%% faster, exact distances, "
@@ -119,6 +127,19 @@ def main(argv=None) -> int:
     pc_mov = PointCloud.from_xyz(args.movable)
 
     max_overlap = math.inf if args.max_overlap_distance < 0 else args.max_overlap_distance
+
+    # Route the job by size BEFORE any jax array work latches the backend
+    # (PointCloud I/O is pure numpy): small registrations finish faster on
+    # the local CPU than a tunnel-attached accelerator's process overhead.
+    from .utils.device_policy import apply_device, resolve_device
+
+    apply_device(resolve_device(
+        args.device, len(pc_fix), len(pc_mov),
+        correspondences=args.correspondences,
+        max_overlap_distance=max_overlap,
+        max_iterations=args.max_iterations,
+        sharded=args.num_devices > 0,
+    ))
 
     solver, min_change = args.solver, args.min_change
     mad_scale, staging, ddof = args.mad_scale, args.rejection_staging, args.std_ddof

@@ -171,6 +171,43 @@ def test_native_parser_parallel_path(tmp_path, rng):
         read_xyz_native(str(f))
 
 
+def test_device_routing_policy():
+    """--device auto cost model: small jobs (dragon-size and below) route
+    to the local CPU backend, big ones keep the accelerator; explicit
+    choices and sharded runs always win over the estimate."""
+    from simpleicp_tpu.utils.device_policy import resolve_device
+
+    # dragon (1e5 x 1e5, gated): ~1.1e10 pairs -> CPU inside the threshold
+    assert resolve_device(
+        "auto", 100_000, 100_000, max_overlap_distance=1.0
+    ) == "cpu"
+    # 10M x 10M gated: 1e14 pairs -> accelerator
+    assert resolve_device(
+        "auto", 10**7, 10**7, max_overlap_distance=1.0
+    ) == "default"
+    # ungated estimates drop the nf*nm gate term
+    assert resolve_device("auto", 10**6, 10**6) == "cpu"
+    # explicit choices win
+    assert resolve_device("cpu", 10**8, 10**8) == "cpu"
+    assert resolve_device("tpu", 10, 10) == "default"
+    # a requested device mesh is never second-guessed
+    assert resolve_device("auto", 10, 10, sharded=True) == "default"
+    with pytest.raises(ValueError):
+        resolve_device("gpu", 1, 1)
+
+
+def test_cli_device_flag(tmp_path):
+    """--device cpu end-to-end (under the CPU-forced test env the routing
+    is a no-op platform update; this locks the flag contract + plumbing)."""
+    p = build_parser()
+    assert p.parse_args(["-f", "a", "-m", "b"]).device == "auto"
+    rc = main([
+        "-f", f"{DATA}/bunny_part1.xyz", "-m", f"{DATA}/bunny_part2.xyz",
+        "-o", "1", "--quiet", "--device", "cpu",
+    ])
+    assert rc == 0
+
+
 def test_cli_gate_method_flag(tmp_path, capsys):
     """--gate-method routes the overlap gate engine; 'dilate' must produce
     the same registration as the default on a gated run."""
