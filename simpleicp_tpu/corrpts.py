@@ -126,10 +126,31 @@ class CorrPts:
         keep = np.abs(self.point_to_plane_distances - med) <= factor * sigma
         self._keep(keep)
 
-    def reject_wrt_to_angle_between_normals(self, *args, **kwargs) -> None:
-        """Declared but not implemented, like the reference
-        (/root/reference/python/simpleicp/corrpts.py:190-193)."""
-        raise NotImplementedError
+    def reject_wrt_to_angle_between_normals(
+        self, max_angle_deg: Optional[float] = None
+    ) -> None:
+        """Zero-argument call: declared but not implemented, like the
+        reference (/root/reference/python/simpleicp/corrpts.py:190-193).
+
+        TPU-build extension: pass `max_angle_deg` to actually reject by the
+        angle between the matched points' normal vectors (both clouds must
+        carry nx/ny/nz — run `estimate_normals` on each first). Normal
+        orientation from a plane fit is sign-ambiguous, so the angle is
+        measured between LINES (|n1·n2|, folding to [0°, 90°])."""
+        if max_angle_deg is None:
+            raise NotImplementedError
+        self._require_matched()
+        for pc, name in ((self.pc1, "pc1"), (self.pc2, "pc2")):
+            if "nx" not in pc:
+                raise CorrPtsException(
+                    f"{name} has no normals: call estimate_normals first."
+                )
+        n2 = np.column_stack(
+            [self.pc2["nx"][self.idx_pc2], self.pc2["ny"][self.idx_pc2],
+             self.pc2["nz"][self.idx_pc2]]
+        )
+        cos = np.abs(np.einsum("ij,ij->i", self.normals1, n2))
+        self._keep(cos >= np.cos(np.radians(max_angle_deg)))
 
     def write_xyz(self, path) -> None:
         """CloudCompare-compatible export

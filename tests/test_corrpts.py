@@ -54,6 +54,45 @@ def test_corrpts_errors_and_unimplemented(rng):
         cp.reject_wrt_to_angle_between_normals()
 
 
+def test_corrpts_angle_rejection_extension(rng):
+    """Zero-arg call keeps reference parity (NotImplementedError); passing
+    max_angle_deg runs the TPU-build extension: reject pairs whose normals
+    (as unoriented lines) differ by more than the threshold."""
+    pc1, pc2 = _plane_clouds(rng)
+    pc1.estimate_normals(10)
+    # pc2 normals: half the cloud copies pc1's plane normal, the other half
+    # is corrupted to a near-orthogonal direction
+    pc2.estimate_normals(10)
+    n = len(pc2)
+    bad = np.zeros(n, bool)
+    bad[: n // 2] = True
+    for c, v in zip(("nx", "ny", "nz"), (1.0, 0.0, 0.0)):
+        col = np.asarray(pc2[c]).copy()
+        col[bad] = v  # x-axis: ~86 deg from the plane normal (~[ -0.1, -0.05, 1 ])
+        pc2[c] = col
+    cp = CorrPts(pc1, pc2)
+    cp.match()
+    matched_bad = bad[cp.idx_pc2]
+    n_good = int((~matched_bad).sum())
+    cp.reject_wrt_to_angle_between_normals(max_angle_deg=30.0)
+    assert cp.num_corr_pts == n_good
+    # sign flips must NOT reject (normal orientation is arbitrary)
+    pc2_f = PointCloud(pc2.X)
+    pc2_f.estimate_normals(10)
+    for c in ("nx", "ny", "nz"):
+        pc2_f[c] = -np.asarray(pc2_f[c])
+    cp2 = CorrPts(pc1, pc2_f)
+    cp2.match()
+    n0 = cp2.num_corr_pts
+    cp2.reject_wrt_to_angle_between_normals(max_angle_deg=30.0)
+    assert cp2.num_corr_pts == n0
+    # missing normals on either side -> CorrPtsException
+    cp3 = CorrPts(pc1, PointCloud(pc2.X))
+    cp3.match()
+    with pytest.raises(CorrPtsException, match="pc2 has no normals"):
+        cp3.reject_wrt_to_angle_between_normals(max_angle_deg=30.0)
+
+
 def test_corrpts_write_xyz(tmp_path, rng):
     pc1, pc2 = _plane_clouds(rng, n=500)
     pc1.estimate_normals(10)
