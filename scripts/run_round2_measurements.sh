@@ -42,6 +42,9 @@ step slab_s0_12p5 1800 python scripts/diag_slab_s0.py \
 step gated_12p5 1200 python scripts/bench_gated_scale.py \
   --sizes 12.5e6 --out "$OUT/gated_12p5.json"
 
+# 4a0. pipelined vs sequential band-ref compaction dispatch
+step pipeline_ab_12p5 1200 python scripts/diag_pipeline_ab.py 12.5e6
+
 # 4a. lattice-resolution sensitivity: is finest-fitting cell_div optimal
 # now that the slab join made band resolution cheap?
 step cell_div_12p5 1800 python scripts/diag_cell_div.py \
