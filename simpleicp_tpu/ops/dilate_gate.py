@@ -285,33 +285,23 @@ def _pack_occupancy_device(P, *, plan: DilatePlan):
     return zero.at[tgt].add(val, mode="drop")
 
 
-@functools.partial(jax.jit, static_argnames=("plan",))
-def _pack_occupancy_device_masked(P, mask, *, plan: DilatePlan):
-    """Occupancy pack of the SUBSET of `P` where `mask` is true, without a
-    host-side compaction of the indices: masked-out rows are routed to the
-    out-of-bounds word (dropped by the scatter), so the result is bit-equal
-    to packing the gathered subset. This keeps the whole band-ref
-    compaction dispatchable from a device mask alone — no host fetch,
-    nonzero, or index upload on the critical path."""
-    dims = plan.dims
-    k = _cells_of(
-        P, jnp.asarray(plan.origin, P.dtype),
-        jnp.asarray(plan.inv_cell, P.dtype), dims,
-    )
-    widx = (
-        (k[:, 2] >> 5) * (dims[0] * dims[1])
-        + k[:, 0] * dims[1] + k[:, 1]
-    )
-    widx = jnp.where(mask, widx, jnp.int32(plan.n_words))
-    bit = k[:, 2] & 31
-    ws, bs = lax.sort((widx, bit), num_keys=2)
-    dup = jnp.concatenate([
-        jnp.zeros((1,), bool), (ws[1:] == ws[:-1]) & (bs[1:] == bs[:-1]),
-    ])
-    val = jnp.where(dup, jnp.uint32(0), jnp.uint32(1) << bs.astype(jnp.uint32))
-    tgt = jnp.where(dup, jnp.int32(plan.n_words), ws)
-    zero = jnp.zeros(plan.n_words, jnp.uint32)
-    return zero.at[tgt].add(val, mode="drop")
+@functools.partial(jax.jit, static_argnames=("plan", "cap"))
+def _band_subset_on_device(Xf, band_mask, *, plan: DilatePlan, cap: int):
+    """Gather (up to `cap`) band-query rows from the mask ON DEVICE —
+    `nonzero(size=cap)` is a cumsum + scatter, O(nf) elementwise work,
+    far cheaper than dragging the full query cloud through the packed
+    sort (the pack's 2-key lexicographic sort is the expensive part; this
+    keeps it at band size like the host-index path, without the host
+    fetch + nonzero + index re-upload on the critical path).
+
+    Fill rows (when the band is smaller than cap) use index 0 — a real
+    query, so downstream consumers only keep a few extra refs near Xf[0].
+    If the true band EXCEEDS cap, nonzero truncates: dropped band queries
+    could lose the refs they need, so the CALLER must validate the band
+    count against cap (host-side, after the batched mask fetch) and
+    discard/redo on overflow."""
+    idx = jnp.nonzero(band_mask, size=cap, fill_value=0)[0]
+    return Xf[jnp.clip(idx, 0, Xf.shape[0] - 1)]
 
 
 def _zshift_up(occ, k):
@@ -530,8 +520,9 @@ def classify_queries(Xf, Xm, H0, *, plan: DilatePlan,
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("plan",))
-def _compact_refs_device(Xf, band_mask, Xm, H0, *, plan: DilatePlan):
+@functools.partial(jax.jit, static_argnames=("plan", "cap"))
+def _compact_refs_device(Xf, band_mask, Xm, H0, *, plan: DilatePlan,
+                         cap: int):
     """Device, one program, on the CLASSIFY lattice: mark each (transformed)
     movable point that could be within `radius` of ANY band query — pack
     the band queries' own occupancy, POSS-dilate it, bit-test each ref's
@@ -550,9 +541,11 @@ def _compact_refs_device(Xf, band_mask, Xm, H0, *, plan: DilatePlan):
     crit_poss is monotone in per-axis |offset|, so the filter stays
     conservative. Taking the band MASK (not gathered indices) lets the
     caller enqueue this program directly behind the classify, before any
-    mask bytes reach the host.
+    mask bytes reach the host; `cap` semantics (fill rows / overflow
+    validation) per `_band_subset_on_device`.
     """
-    occ_b = _pack_occupancy_device_masked(Xf, band_mask, plan=plan)
+    band_q = _band_subset_on_device(Xf, band_mask, plan=plan, cap=cap)
+    occ_b = _pack_occupancy_device(band_q, plan=plan)
     dims = plan.dims
     poss_b = _dilate_packed(
         occ_b.reshape(plan.wz, dims[0], dims[1]), plan.poss_offsets
@@ -1020,25 +1013,33 @@ def overlap_mask_dilate(
     n_refs = Xm.shape[0]
     # Speculative pipelining: when even a typical-fraction band would
     # exceed the direct-sweep budget, enqueue the band-ref compaction
-    # directly behind the classify (it consumes the band mask on device)
-    # so its ~2 s of device time runs while the classify masks stream to
-    # the host — instead of after fetch + nonzero + index re-upload.
+    # directly behind the classify (it consumes the band mask on device,
+    # capped at 3x the typical band fraction) so its ~2 s of device time
+    # runs while the classify masks stream to the host — instead of after
+    # fetch + nonzero + index re-upload.
     speculate = (
         Xf.shape[0] * _BAND_FRAC_EST * n_refs > _DIRECT_SWEEP_MAX
     )
+    spec_cap = _bucket_size(int(Xf.shape[0] * _BAND_FRAC_EST * 3))
     in_mask, band_mask = classify_queries(
         Xf, Xm, H0, plan=plan, Xm_host=Xm_host, block=not speculate
     )
     if speculate:
-        keep_dev = _compact_refs_device(Xf, band_mask, Xm, H0, plan=plan)
+        keep_dev = _compact_refs_device(
+            Xf, band_mask, Xm, H0, plan=plan, cap=spec_cap
+        )
         band_np, out, keep = _fetch_masks(band_mask, in_mask, keep_dev)
     else:
         band_np, out = _fetch_masks(band_mask, in_mask)
         keep = None
     band_idx = np.nonzero(band_np)[0].astype(np.int32)
+    if keep is not None and band_idx.size > spec_cap:
+        # The speculative program truncated the band (nonzero size=cap):
+        # its keep mask may be missing refs — discard and redo below.
+        keep = None
     _mark(
         f"classify (band {band_idx.size}/{band_np.size}"
-        f"{', pipelined ref compaction' if speculate else ''})"
+        f"{', pipelined ref compaction' if keep is not None else ''})"
     )
     if band_idx.size == 0:
         return out
@@ -1050,10 +1051,13 @@ def overlap_mask_dilate(
     remaining = band_idx
     ref_idx = None
     if keep is None and remaining.size * n_refs > _DIRECT_SWEEP_MAX:
-        # Speculation under-triggered: compact the reference side now
-        # (sequential dispatch, see _compact_refs_device).
+        # Speculation under-triggered (or its cap overflowed): compact the
+        # reference side now with an exact-size cap (sequential dispatch).
         keep = _fetch_mask(
-            _compact_refs_device(Xf, band_mask, Xm, H0, plan=plan)
+            _compact_refs_device(
+                Xf, band_mask, Xm, H0, plan=plan,
+                cap=_bucket_size(remaining.size),
+            )
         )
     if keep is not None:
         ref_idx = np.nonzero(keep)[0].astype(np.int32)

@@ -257,32 +257,47 @@ def test_band_ref_compaction_exact(rng, monkeypatch):
     )
 
 
-def test_masked_pack_matches_subset_pack(rng):
-    """_pack_occupancy_device_masked(P, mask) must equal packing the
-    host-gathered subset P[mask] bit for bit — it is what lets the band-ref
-    compaction consume the classify's band mask on device, without the
-    host nonzero + index re-upload on the critical path."""
+def test_band_subset_on_device_matches_host_gather(rng):
+    """_band_subset_on_device(Xf, mask, cap) must equal the host-side
+    Xf[nonzero(mask)] gather (fill rows = Xf[0]) — it is what lets the
+    band-ref compaction consume the classify's band mask on device, at
+    band-size sort cost, without the host nonzero + index re-upload on
+    the critical path."""
     from simpleicp_tpu.ops import dilate_gate as dg
 
     P = rng.uniform(-1, 1, size=(5000, 3))
     mask = rng.uniform(size=5000) < 0.3
     plan = plan_dilate_gate(P, P, 0.1)
+    k = int(mask.sum())
+    cap = 2048
+    assert k < cap
     got = np.asarray(
-        dg._pack_occupancy_device_masked(
-            jnp.asarray(P), jnp.asarray(mask), plan=plan
+        dg._band_subset_on_device(
+            jnp.asarray(P), jnp.asarray(mask), plan=plan, cap=cap
         )
     )
-    want = np.asarray(
-        dg._pack_occupancy_device(jnp.asarray(P[mask]), plan=plan)
+    np.testing.assert_array_equal(got[:k], P[mask])
+    np.testing.assert_array_equal(got[k:], np.broadcast_to(P[0], (cap - k, 3)))
+
+
+def test_compaction_speculative_cap_overflow_redoes_exact(rng, monkeypatch):
+    """When the true band exceeds the speculative nonzero cap, the
+    truncated keep mask must be DISCARDED (it could be missing refs) and
+    the sequential exact-cap dispatch must redo it — end result bit-exact
+    vs brute."""
+    from simpleicp_tpu.ops import dilate_gate
+
+    monkeypatch.setattr(dilate_gate, "_DIRECT_SWEEP_MAX", 0)
+    # tiny band-fraction estimate + un-floored buckets force spec_cap ~1,
+    # while the speculate condition (anything > 0) still holds
+    monkeypatch.setattr(dilate_gate, "_BAND_FRAC_EST", 1e-4)
+    monkeypatch.setattr(dilate_gate, "_bucket_size", lambda n: max(int(n), 1))
+    r = 0.13
+    Xf = rng.uniform(-1, 1, size=(4000, 3))
+    Xm = rng.uniform(-1, 1, size=(3000, 3)) + np.array([0.4, 0.0, 0.0])
+    np.testing.assert_array_equal(
+        _dilate_mask(Xf, Xm, r), _brute_mask(Xf, Xm, r)
     )
-    np.testing.assert_array_equal(got, want)
-    # empty mask packs an empty grid
-    none = np.asarray(
-        dg._pack_occupancy_device_masked(
-            jnp.asarray(P), jnp.zeros(5000, bool), plan=plan
-        )
-    )
-    assert not none.any()
 
 
 def test_compaction_sequential_fallback_exact(rng, monkeypatch):
