@@ -4,7 +4,9 @@ Flag names, short options, defaults, and semantics follow the reference CLIs
 (/root/reference/c++/src/simpleicp-cli.cpp:15-35, /root/reference/rust/src/main.rs:10-46),
 including "negative max_overlap_distance disables the gate". TPU-build
 extensions: --solver, --export, --num-devices (sharded run), --device
-(size-based CPU/accelerator routing, utils/device_policy.py).
+(size-based CPU/accelerator routing, utils/device_policy.py),
+--observed-values/--observation-weights (rbp observations, Python-API-only
+in the reference).
 """
 
 from __future__ import annotations
@@ -65,6 +67,18 @@ def build_parser() -> argparse.ArgumentParser:
              "(0 = population like reference Python, 1 = sample like the "
              "native family)",
     )
+    p.add_argument(
+        "--observed-values", default=None, metavar="A1,A2,A3,TX,TY,TZ",
+        help="rigid-body parameter observations (angles in DEGREES, like "
+             "SimpleICP.run): six comma-separated values — doubles as the "
+             "initial transform (TPU-build extension; the reference exposes "
+             "this via the Python API only)",
+    )
+    p.add_argument(
+        "--observation-weights", default=None, metavar="W1,...,W6",
+        help="per-parameter observation weights: 0 free, finite>0 observed, "
+             "inf frozen (use with --observed-values)",
+    )
     p.add_argument("--export", default="", help="write the transformed movable cloud here")
     p.add_argument("--debug_dirpath", default="")
     p.add_argument(
@@ -120,6 +134,19 @@ PRESETS = {
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    def _six(spec, flag):
+        if spec is None:
+            return (0.0,) * 6
+        vals = tuple(float(v) for v in spec.split(","))
+        if len(vals) != 6:
+            raise SystemExit(
+                f"{flag} needs six comma-separated values, got {len(vals)}"
+            )
+        return vals
+
+    obs_vals = _six(args.observed_values, "--observed-values")
+    obs_w = _six(args.observation_weights, "--observation-weights")
+
     from . import PointCloud, SimpleICP
     from .utils.xyz_io import write_xyz
 
@@ -158,6 +185,8 @@ def main(argv=None) -> int:
         max_overlap_distance=max_overlap,
         min_change=min_change,
         max_iterations=args.max_iterations,
+        rbp_observed_values=obs_vals,
+        rbp_observation_weights=obs_w,
         solver=solver,
         mad_scale=1.4826 if mad_scale is None else mad_scale,
         rejection_staging="python" if staging is None else staging,

@@ -208,6 +208,30 @@ def test_cli_device_flag(tmp_path):
     assert rc == 0
 
 
+def test_cli_observation_flags(caplog):
+    """--observed-values/--observation-weights (TPU-build extension: the
+    reference exposes rbp observations via the Python API only) make the
+    multisensor config CLI-runnable: alpha1/alpha2 frozen at the observed
+    values."""
+    import logging
+
+    with caplog.at_level(logging.INFO, logger="simpleicp_tpu.api"):
+        rc = main([
+            "-f", f"{DATA}/multisensor_lidar.xyz",
+            "-m", f"{DATA}/multisensor_radar.xyz", "-o", "1",
+            "--observed-values=-0.5,0,0,0,0,0",
+            "--observation-weights=inf,inf,0,0,0,0",
+        ])
+    assert rc == 0
+    line_a1 = next(
+        ln for ln in caplog.text.splitlines() if "alpha1" in ln and "|" in ln
+    )
+    assert "-0.500000" in line_a1 and "inf" in line_a1
+    # malformed spec -> clean SystemExit, not a traceback
+    with pytest.raises(SystemExit, match="six comma-separated"):
+        main(["-f", "a", "-m", "b", "--observed-values=1,2,3"])
+
+
 def test_cli_gate_method_flag(tmp_path, capsys):
     """--gate-method routes the overlap gate engine; 'dilate' must produce
     the same registration as the default on a gated run."""
