@@ -10,6 +10,7 @@ fastest reference implementation).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -19,8 +20,67 @@ import numpy as np
 BASELINE_BEST_S = 0.07  # Rust, the fastest reference (README.md:183)
 
 
+def _wait_for_device(budget_s: float) -> bool:
+    """Pre-flight health gate: a fresh-shape matmul with a forced readback,
+    probed in a SUBPROCESS under a timeout. A TPU worker recovering from a
+    crash or a post-big-job stall hangs transfers uninterruptibly for
+    minutes (CLAUDE.md), and new compiles fail — an in-process first touch
+    would wedge bench.py with no way to retry. The subprocess keeps this
+    process in control; fresh shapes defeat program caching so the probe
+    exercises a real compile+run. Retries until the backend answers or the
+    budget (BENCH_PROBE_BUDGET_S, default 20 min) runs out."""
+    import random
+    import subprocess
+
+    deadline = time.monotonic() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        n = 517 + random.randrange(256)
+        code = (
+            # JAX_PLATFORMS alone does NOT override a registered plugin
+            # backend (CLAUDE.md); apply it via config so CPU test runs of
+            # bench.py probe the backend they will actually use.
+            "import os\n"
+            "plat = os.environ.get('JAX_PLATFORMS')\n"
+            "import jax\n"
+            "if plat: jax.config.update('jax_platforms', plat)\n"
+            "import numpy as np, jax.numpy as jnp\n"
+            f"x = jnp.ones(({n}, 331), jnp.float32)\n"
+            "print(np.asarray(x @ x.T).shape)\n"
+        )
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code], timeout=240,
+                capture_output=True,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() > deadline:
+            return False
+        print(
+            f"bench: device probe {attempt} failed; retrying in 60 s",
+            file=sys.stderr, flush=True,
+        )
+        time.sleep(60)
+
+
 def main():
+    if not _wait_for_device(float(os.environ.get(
+            "BENCH_PROBE_BUDGET_S", "1200"))):
+        print(
+            "bench: device did not answer a fresh-shape probe within the "
+            "budget (worker stalled or recovering); no measurement taken.",
+            file=sys.stderr, flush=True,
+        )
+        return 1
+    plat = os.environ.get("JAX_PLATFORMS")
     import jax
+
+    if plat:  # see probe note: the env var alone cannot override a plugin
+        jax.config.update("jax_platforms", plat)
     import jax.numpy as jnp
 
     from simpleicp_tpu import IcpConfig, icp_register
