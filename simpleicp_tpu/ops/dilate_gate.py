@@ -937,8 +937,11 @@ def _blocked_slab_join(Xf, Xm, H0, remaining: np.ndarray,
     # 0 — real data, results discarded).
     order = np.argsort(-fills, kind="stable")
     n_pairs = 0
-    n_calls = 0
     pos = 0
+    pending = []  # (sel, device d2) — enqueue ALL programs, then fetch:
+    # groups are independent and the total result volume is ~2x the band
+    # size, so later groups compute while earlier bytes stream back
+    # (dispatch is async; np.asarray is the barrier).
     while pos < B:
         W_g = _bucket_size(int(fills[order[pos]]))
         group = max(1, int(_SWEEP_PAIR_BUDGET // max(S1 * W_g, 1)))
@@ -949,13 +952,13 @@ def _blocked_slab_join(Xf, Xm, H0, remaining: np.ndarray,
         QBg[: sel.size] = QB[sel]
         stg = np.zeros(gb, np.int32)
         stg[: sel.size] = np.minimum(starts_np[sel], np.int32(M_pad - W_g))
-        d2 = np.asarray(
-            _min_d2_sliced_blocks(
-                Xf, jnp.asarray(QBg), jnp.asarray(stg), Rsorted, W=W_g
-            )
-        )
-        n_calls += 1
+        pending.append((sel, _min_d2_sliced_blocks(
+            Xf, jnp.asarray(QBg), jnp.asarray(stg), Rsorted, W=W_g
+        )))
         n_pairs += gb * S1 * W_g
+    n_calls = len(pending)
+    for sel, d2_dev in pending:
+        d2 = np.asarray(d2_dev)
         for k, b in enumerate(sel):
             qc = blocks_q[b]
             out[qc] = d2[k, : qc.size] <= r2
