@@ -6,6 +6,12 @@ separate launches — the serving-throughput path (models/icp.py:
 icp_register_batch).
 """
 
+import os
+import sys
+
+# Runnable from a plain checkout: scripts/ uses the same bootstrap.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 from simpleicp_tpu import IcpConfig, icp_register_batch

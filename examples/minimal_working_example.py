@@ -3,6 +3,12 @@
 Mirror of /root/reference/python/simpleicp/tests/minimal_working_example.py.
 """
 
+import os
+import sys
+
+# Runnable from a plain checkout: scripts/ uses the same bootstrap.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from pathlib import Path
 
 from simpleicp_tpu import PointCloud, SimpleICP

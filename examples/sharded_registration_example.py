@@ -7,6 +7,12 @@ sharded over the mesh's points axis and the gate / selection / kNN /
 solve reductions ride collectives (parallel/sharded.py).
 """
 
+import os
+import sys
+
+# Runnable from a plain checkout: scripts/ uses the same bootstrap.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 from simpleicp_tpu import IcpConfig
