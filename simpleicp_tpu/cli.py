@@ -87,10 +87,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--device", choices=("auto", "cpu", "tpu"), default="auto",
-        help="where to run: auto routes small registrations to the local "
-             "CPU backend (skipping accelerator compile + dispatch "
-             "latency, crossover ~1.4e10 distance pairs) and large ones "
-             "to the accelerator; cpu/tpu force a backend",
+        help="where to run: auto routes registrations estimated under "
+             "~20 s of local CPU time to the CPU backend (skipping "
+             "accelerator compile + dispatch latency) and everything "
+             "else to the accelerator; cpu/tpu force a backend",
     )
     p.add_argument(
         "--approx-knn", action="store_true",

@@ -20,10 +20,13 @@ from __future__ import annotations
 
 import math
 
-# Measured sustained dense-sweep throughput of XLA:CPU on this class of
-# host (min_dist_sq, f32, multithreaded): 7.6-9.2e8 pairs/s at gate-like
-# shapes. Use the low end so borderline jobs keep the accelerator.
-CPU_PAIRS_PER_SEC = 7.0e8
+# Measured XLA:CPU throughputs on this class of host (f32, multithreaded).
+# The IN-PROGRAM full-cloud gate (nn_search scan inside the jitted
+# registration) sustains ~2.5e8 pairs/s (2e5 x 2e5 gated registration:
+# 158 s for 4e10 gate pairs); the small-C in-loop match and normals kNN
+# vectorize better, ~1e9 pairs/s (dragon: 7e8 loop pairs in ~0.5 s).
+CPU_GATE_PAIRS_PER_SEC = 2.5e8
+CPU_LOOP_PAIRS_PER_SEC = 1.0e9
 # Route to CPU when the estimated CPU time is below this. A healthy
 # warm-cache TPU process still pays several seconds of remote setup and
 # tunnel transfers, so sub-threshold jobs lose little in the worst case
@@ -34,7 +37,7 @@ CPU_ROUTE_MAX_SEC = 20.0
 _TYPICAL_ITERATIONS = 10
 
 
-def estimate_pair_work(
+def estimate_cpu_seconds(
     nf: int,
     nm: int,
     *,
@@ -42,13 +45,15 @@ def estimate_pair_work(
     max_overlap_distance: float = math.inf,
     max_iterations: int = 100,
 ) -> float:
-    """Total distance-pair count of one registration: overlap gate (when
-    enabled) + normals kNN + the per-iteration NN match."""
+    """Estimated XLA:CPU seconds for one registration: overlap gate (when
+    enabled) + normals kNN + the per-iteration NN match, each at its
+    measured CPU rate."""
     c = min(correspondences, nf)
     gate = float(nf) * nm if math.isfinite(max_overlap_distance) else 0.0
     knn = float(c) * nf
     loop = float(c) * nm * min(_TYPICAL_ITERATIONS, max_iterations)
-    return gate + knn + loop
+    return (gate / CPU_GATE_PAIRS_PER_SEC
+            + (knn + loop) / CPU_LOOP_PAIRS_PER_SEC)
 
 
 def resolve_device(
@@ -74,13 +79,13 @@ def resolve_device(
         return "default"
     if choice != "auto":
         raise ValueError(f"unknown device choice: {choice!r}")
-    work = estimate_pair_work(
+    sec = estimate_cpu_seconds(
         nf, nm,
         correspondences=correspondences,
         max_overlap_distance=max_overlap_distance,
         max_iterations=max_iterations,
     )
-    return "cpu" if work / CPU_PAIRS_PER_SEC <= CPU_ROUTE_MAX_SEC else "default"
+    return "cpu" if sec <= CPU_ROUTE_MAX_SEC else "default"
 
 
 def apply_device(resolved: str) -> None:

@@ -177,13 +177,16 @@ def test_device_routing_policy():
     choices and sharded runs always win over the estimate."""
     from simpleicp_tpu.utils.device_policy import resolve_device
 
-    # dragon (1e5 x 1e5, gated): ~1.1e10 pairs -> CPU inside the threshold
+    # dragon ungated (the CLI default, no -o): ~1 s CPU estimate -> CPU
+    assert resolve_device("auto", 100_000, 100_000) == "cpu"
+    # bunny gated (-o 1): ~2 s CPU estimate -> CPU
+    assert resolve_device(
+        "auto", 21637, 21873, max_overlap_distance=1.0
+    ) == "cpu"
+    # gated 1e5 x 1e5: the IN-PROGRAM gate runs ~2.5e8 pairs/s on CPU
+    # (measured), so 1e10 gate pairs estimate ~40 s -> accelerator
     assert resolve_device(
         "auto", 100_000, 100_000, max_overlap_distance=1.0
-    ) == "cpu"
-    # 10M x 10M gated: 1e14 pairs -> accelerator
-    assert resolve_device(
-        "auto", 10**7, 10**7, max_overlap_distance=1.0
     ) == "default"
     # ungated estimates drop the nf*nm gate term
     assert resolve_device("auto", 10**6, 10**6) == "cpu"
