@@ -281,7 +281,7 @@ class SimpleICP:
         center: bool = True,
         approx_knn: bool = False,
         gate_method: str = "auto",
-        match_method: str = "brute",
+        match_method: str = "auto",
         match_radius: float = 0.0,
         mesh=None,
         num_devices: int = 0,

@@ -105,11 +105,12 @@ def build_parser() -> argparse.ArgumentParser:
              "dilated-occupancy bitmap (auto picks by problem size)",
     )
     p.add_argument(
-        "--match-method", choices=("brute", "grid"), default="brute",
+        "--match-method", choices=("auto", "brute", "grid"), default="auto",
         help="in-loop NN matcher: dense sweep (exact, unbounded) or "
              "static-grid cell list (exact within --match-radius; one grid "
-             "build serves all iterations — use with large "
-             "--correspondences against big clouds)",
+             "build serves all iterations — for large --correspondences "
+             "against big clouds); auto picks brute below ~2.7e11 matched "
+             "pairs/iteration and grid above when a radius is available",
     )
     p.add_argument(
         "--match-radius", type=float, default=0.0,

@@ -116,7 +116,13 @@ class IcpConfig:
     # carry an O(|alpha|^2)-relative metric distortion — near-ties between
     # two candidates closer than that may resolve differently than the
     # forward-frame brute matcher (same convergence basin either way).
-    match_method: str = "brute"
+    # "auto" (default) = brute below ~2.7e11 matched pairs per iteration,
+    # grid above it when a radius is available (match_radius or the overlap
+    # gate). Every reference config resolves to brute; the switch exists
+    # because a C=1e5 x 12.5M brute match (1.25e12 pairs/iteration for 9+
+    # iterations inside ONE program) trips the TPU runtime watchdog and
+    # crashes the worker (measured 2026-08-19, BENCHMARKS.md kernel notes).
+    match_method: str = "auto"
     # Cell size / exactness radius of the grid matcher; 0.0 = use
     # max_overlap_distance (requires the overlap gate to be enabled).
     match_radius: float = 0.0
@@ -145,8 +151,8 @@ class IcpConfig:
             raise ValueError(
                 "gate_method must be 'auto', 'brute', 'grid' or 'dilate'"
             )
-        if self.match_method not in ("brute", "grid"):
-            raise ValueError("match_method must be 'brute' or 'grid'")
+        if self.match_method not in ("auto", "brute", "grid"):
+            raise ValueError("match_method must be 'auto', 'brute' or 'grid'")
         if self.match_radius < 0:
             raise ValueError("match_radius must be >= 0")
         if self.match_method == "grid" and self.match_radius == 0.0 and not (

@@ -459,6 +459,36 @@ def _icp_run(Xf, Xm, obs_vals, obs_w, normals_fix, planarity_fix,
     )
 
 
+# match_method="auto" crossover: below this many matched pairs per iteration
+# the dense brute sweep wins (at the reference's C=1000 it beats the grid
+# 4.8x even against a 12.5M-point cloud — random candidate gathers are the
+# grid's cost); far above it the brute sweep is not just slower but DANGEROUS:
+# a C=1e5 x 12.5M brute match (1.25e12 pairs/iteration, 9+ iterations inside
+# one while_loop program) tripped the TPU runtime watchdog and crashed the
+# worker (2026-08-19, BENCHMARKS.md kernel notes). 2^38 ~ 2.7e11 keeps whole
+# programs under the observed hazard with margin.
+MATCH_AUTO_PAIR_BUDGET = 2**38
+
+
+def resolve_match_method(cfg: IcpConfig, n_queries: int, n_mov: int) -> IcpConfig:
+    """Resolve match_method="auto" to a concrete engine, host-side.
+
+    Picks "grid" only when the per-iteration brute pair count exceeds
+    MATCH_AUTO_PAIR_BUDGET AND a radius is available (match_radius or the
+    overlap gate — the grid matcher needs one, IcpConfig.__post_init__);
+    otherwise "brute". Explicit settings pass through untouched.
+    """
+    if cfg.match_method != "auto":
+        return cfg
+    import dataclasses
+
+    has_radius = cfg.match_radius > 0 or cfg.overlap_enabled
+    big = n_queries * n_mov > MATCH_AUTO_PAIR_BUDGET
+    return dataclasses.replace(
+        cfg, match_method="grid" if (big and has_radius) else "brute"
+    )
+
+
 def icp_register(
     X_fix,
     X_mov,
@@ -514,6 +544,8 @@ def icp_register(
 
         rt_auto = 1 << max(12, min(16, (Xm.shape[0] // 8).bit_length()))
         cfg = dataclasses.replace(cfg, ref_tile=rt_auto)
+
+    cfg = resolve_match_method(cfg, cfg.correspondences, Xm.shape[0])
 
     # Grid matcher: resolve the static slot-occupancy cap host-side (the
     # grid is built over the ORIGINAL movable cloud, which never moves, so
@@ -674,6 +706,12 @@ def icp_register_batch(
         raise ValueError(
             f"gate_method={cfg.gate_method!r} is not supported in batch mode"
         )
+    if cfg.match_method == "auto":
+        # batch pairs are serving-sized; the grid matcher is per-cloud
+        # static so auto always resolves to brute here
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, match_method="brute")
     if cfg.match_method != "brute":
         raise ValueError(
             "match_method='grid' is not supported in batch mode (its cell "

@@ -545,6 +545,10 @@ def icp_register_sharded(
                 cfg, gate_method=resolved, grid_cell_cap=cap
             )
 
+    from ..models.icp import resolve_match_method
+
+    cfg = resolve_match_method(cfg, cfg.correspondences, np.shape(X_mov)[0])
+
     if cfg.match_method == "grid" and cfg.match_cell_cap == 0:
         import dataclasses
 

@@ -127,3 +127,42 @@ def test_grid_match_sharded_parity(rng):
     np.testing.assert_array_equal(
         np.asarray(res_8.iter_counts), np.asarray(res_1.iter_counts)
     )
+
+
+class TestResolveMatchMethod:
+    """match_method="auto" host-side resolution (models/icp.py).
+
+    The pair budget guards against the measured TPU watchdog hazard: a
+    C=1e5 x 12.5M brute in-loop match (1.25e12 pairs/iteration inside one
+    while_loop program) crashed the worker (BENCHMARKS.md kernel notes).
+    """
+
+    def test_small_resolves_to_brute(self):
+        cfg = IcpConfig(correspondences=1000, max_overlap_distance=1.0)
+        out = icp_core.resolve_match_method(cfg, 1000, 12_500_000)
+        assert out.match_method == "brute"
+
+    def test_big_with_radius_resolves_to_grid(self):
+        cfg = IcpConfig(correspondences=100_000, max_overlap_distance=1.0)
+        assert cfg.match_method == "auto"
+        out = icp_core.resolve_match_method(cfg, 100_000, 12_500_000)
+        assert out.match_method == "grid"
+
+    def test_big_without_radius_falls_back_to_brute(self):
+        cfg = IcpConfig(correspondences=100_000)  # no gate, no match_radius
+        out = icp_core.resolve_match_method(cfg, 100_000, 12_500_000)
+        assert out.match_method == "brute"
+
+    def test_explicit_choice_passes_through(self):
+        cfg = IcpConfig(match_method="grid", match_radius=0.5)
+        out = icp_core.resolve_match_method(cfg, 100_000, 12_500_000)
+        assert out.match_method == "grid"
+        cfg = IcpConfig(match_method="brute")
+        out = icp_core.resolve_match_method(cfg, 100_000, 12_500_000)
+        assert out.match_method == "brute"
+
+    def test_threshold_boundary(self):
+        cfg = IcpConfig(max_overlap_distance=1.0)
+        at = icp_core.MATCH_AUTO_PAIR_BUDGET
+        assert icp_core.resolve_match_method(cfg, 1, at).match_method == "brute"
+        assert icp_core.resolve_match_method(cfg, 1, at + 1).match_method == "grid"
