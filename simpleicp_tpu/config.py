@@ -129,6 +129,15 @@ class IcpConfig:
     # Static max hash-slot occupancy for the grid matcher; 0 = computed
     # host-side by icp_register via ops.gridhash.grid_cell_cap.
     match_cell_cap: int = 0
+    # Single-program device-time budget (seconds) on accelerator backends.
+    # The whole registration compiles into ONE XLA program; runtimes with a
+    # watchdog kill over-long programs AND take the worker down with them
+    # (measured 2026-08-19: C=1e5 x 12.5M matches crashed the TPU worker
+    # with both matcher engines). icp_register estimates the program's
+    # device seconds host-side (utils/device_policy.py measured rates) and
+    # raises with guidance instead of dispatching a program expected to
+    # exceed this. 0 disables the guard. CPU backends are never guarded.
+    program_budget_s: float = 30.0
 
     def __post_init__(self):
         if self.correspondences < 6:
@@ -155,6 +164,8 @@ class IcpConfig:
             raise ValueError("match_method must be 'auto', 'brute' or 'grid'")
         if self.match_radius < 0:
             raise ValueError("match_radius must be >= 0")
+        if self.program_budget_s < 0:
+            raise ValueError("program_budget_s must be >= 0 (0 disables)")
         if self.match_method == "grid" and self.match_radius == 0.0 and not (
             math.isfinite(self.max_overlap_distance)
             and self.max_overlap_distance > 0

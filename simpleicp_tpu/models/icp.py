@@ -561,6 +561,39 @@ def icp_register(
             match_cell_cap=grid_cell_cap(np.asarray(X_mov, np.float64), rm),
         )
 
+    # Watchdog guard: refuse programs expected to exceed the single-program
+    # device-time budget instead of crashing a shared worker (see
+    # IcpConfig.program_budget_s; rates in utils/device_policy.py).
+    if cfg.program_budget_s > 0 and jax.default_backend() != "cpu":
+        from ..utils.device_policy import estimate_tpu_program_seconds
+
+        nf_, nm_ = Xf.shape[0], Xm.shape[0]
+        gate_pairs = (
+            float(nf_) * nm_
+            if cfg.overlap_enabled
+            and (cfg.gate_method == "brute"
+                 or (cfg.gate_method == "auto" and nf_ * nm_ <= 2**40))
+            else 0.0
+        )
+        est = estimate_tpu_program_seconds(
+            nf_, nm_,
+            correspondences=cfg.correspondences,
+            gate_pairs=gate_pairs,
+            match_method=cfg.match_method,
+            match_cell_cap=cfg.match_cell_cap,
+        )
+        if est > cfg.program_budget_s:
+            raise ValueError(
+                f"this configuration is estimated at ~{est:.0f} s of device "
+                f"time in ONE program, over the program_budget_s="
+                f"{cfg.program_budget_s:g} watchdog guard (over-long "
+                "programs crash TPU workers). Reduce `correspondences`, "
+                "set a small `match_radius` (grid-matcher cells shrink "
+                "with it), run sharded across chips, use --device cpu, or "
+                "raise/disable program_budget_s if your runtime allows "
+                "long programs."
+            )
+
     # Resolve the overlap-gate engine (static choice, host-side). The dense
     # sweep runs at ~1e12 distance-pairs/s on the VPU, so brute wins below
     # ~1e12 pairs (TPU random gathers are slow: bunny grid 427ms vs brute

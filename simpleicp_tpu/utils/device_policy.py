@@ -56,6 +56,43 @@ def estimate_cpu_seconds(
             + (knn + loop) / CPU_LOOP_PAIRS_PER_SEC)
 
 
+# Measured TPU v5e rates (BENCHMARKS.md kernel notes): dense brute
+# distance sweeps sustain ~2.4e11 pairs/s on the VPU; random candidate
+# gathers cost ~8-10 ns per gathered element (~1.2e8 elements/s).
+TPU_SWEEP_PAIRS_PER_SEC = 2.4e11
+TPU_GATHER_ELEMS_PER_SEC = 1.2e8
+
+
+def estimate_tpu_program_seconds(
+    nf: int,
+    nm: int,
+    *,
+    correspondences: int = 1000,
+    gate_pairs: float = 0.0,
+    match_method: str = "brute",
+    match_cell_cap: int = 0,
+    iterations: int = _TYPICAL_ITERATIONS,
+) -> float:
+    """Rough device-seconds of ONE registration program on the TPU.
+
+    The whole pipeline (gate + normals kNN + the iterated match) compiles
+    into a single XLA program; runtimes with a watchdog kill programs that
+    run too long (measured 2026-08-19: a C=1e5 x 12.5M match crashed the
+    worker with BOTH matcher engines). Used by icp_register to refuse such
+    configs host-side instead of crashing a shared worker.
+    """
+    c = min(correspondences, nf)
+    gate = gate_pairs / TPU_SWEEP_PAIRS_PER_SEC
+    normals = float(c) * nf / TPU_SWEEP_PAIRS_PER_SEC
+    if match_method == "grid":
+        # 27 neighbor cells x cap candidate slots x 3 gathered coords
+        per_iter = float(c) * 27.0 * max(match_cell_cap, 1) * 3.0
+        loop = iterations * per_iter / TPU_GATHER_ELEMS_PER_SEC
+    else:
+        loop = iterations * float(c) * nm / TPU_SWEEP_PAIRS_PER_SEC
+    return gate + normals + loop
+
+
 def resolve_device(
     choice: str,
     nf: int,

@@ -166,3 +166,49 @@ class TestResolveMatchMethod:
         at = icp_core.MATCH_AUTO_PAIR_BUDGET
         assert icp_core.resolve_match_method(cfg, 1, at).match_method == "brute"
         assert icp_core.resolve_match_method(cfg, 1, at + 1).match_method == "grid"
+
+
+class TestProgramBudgetGuard:
+    """Host-side watchdog guard (IcpConfig.program_budget_s)."""
+
+    def test_estimator_flags_measured_crash_configs(self):
+        from simpleicp_tpu.utils.device_policy import estimate_tpu_program_seconds
+
+        # C=1e5 x 12.5M brute match: crashed the worker on 2026-08-19
+        est = estimate_tpu_program_seconds(
+            12_500_000, 12_500_000, correspondences=100_000,
+            match_method="brute",
+        )
+        assert est > 30.0
+        # same with the fat-cap grid matcher (cell = overlap radius)
+        est = estimate_tpu_program_seconds(
+            12_500_000, 12_500_000, correspondences=100_000,
+            match_method="grid", match_cell_cap=5000,
+        )
+        assert est > 30.0
+        # the reference-scale and 100M ungated C=1000 configs are fine
+        assert estimate_tpu_program_seconds(100_000, 100_000) < 30.0
+        assert estimate_tpu_program_seconds(100_000_000, 100_000_000) < 30.0
+        # a tight match_radius (small cap) makes large-C grid matching fit
+        est = estimate_tpu_program_seconds(
+            12_500_000, 12_500_000, correspondences=100_000,
+            match_method="grid", match_cell_cap=30,
+        )
+        assert est < 30.0
+
+    def test_guard_raises_on_accelerator_backend(self, rng, monkeypatch):
+        import jax
+
+        from simpleicp_tpu import icp_register
+
+        X_fix, X_mov = _cloud_pair(rng, n=500)
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        cfg = IcpConfig(correspondences=120, program_budget_s=1e-12)
+        with pytest.raises(ValueError, match="program_budget_s"):
+            icp_register(X_fix, X_mov, cfg)
+        # budget 0 disables the guard; the program runs (on the cpu
+        # platform underneath — default_backend is only consulted by the
+        # guard)
+        cfg = IcpConfig(correspondences=120, program_budget_s=0.0)
+        res = icp_register(X_fix, X_mov, cfg)
+        assert int(res.error_code) == icp_core.ERR_OK
