@@ -283,6 +283,7 @@ class SimpleICP:
         gate_method: str = "auto",
         match_method: str = "auto",
         match_radius: float = 0.0,
+        program_budget_s: float = 30.0,
         mesh=None,
         num_devices: int = 0,
     ) -> Tuple[np.ndarray, np.ndarray, RigidBodyParameters, np.ndarray]:
@@ -349,6 +350,7 @@ class SimpleICP:
             gate_method=gate_method,
             match_method=match_method,
             match_radius=match_radius,
+            program_budget_s=program_budget_s,
             record_trajectory=bool(debug_dirpath),
         )
 

@@ -117,6 +117,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="cell size / exactness radius of the grid matcher "
              "(0 = use --max_overlap_distance)",
     )
+    p.add_argument(
+        "--program-budget", type=float, default=30.0,
+        help="single-program device-seconds budget on accelerator backends "
+             "(over-long programs crash TPU workers; estimated host-side "
+             "and refused with guidance; 0 disables the guard)",
+    )
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -197,6 +203,7 @@ def main(argv=None) -> int:
         gate_method=args.gate_method,
         match_method=args.match_method,
         match_radius=args.match_radius,
+        program_budget_s=args.program_budget,
         num_devices=args.num_devices,
     )
     if args.export:
