@@ -98,13 +98,136 @@ class _Carry(NamedTuple):
     iter_dists: jnp.ndarray
 
 
+def _bitlength(x: jnp.ndarray) -> jnp.ndarray:
+    """Bit length of a non-negative int32 (scalar or vector); 0 for 0."""
+    ln = jnp.zeros_like(x)
+    v = x
+    for s in (16, 8, 4, 2, 1):
+        big = v >= (1 << s)
+        ln = ln + jnp.where(big, s, 0)
+        v = jnp.where(big, v >> s, v)
+    return ln + (x > 0).astype(ln.dtype)
+
+
+def round_linspace(n_sel: jnp.ndarray, n: int) -> jnp.ndarray:
+    """np.round(np.linspace(0, n_sel - 1, n)) with a TRACED n_sel, bit-equal
+    to numpy, in pure int32 arithmetic (device-safe with x64 off).
+
+    This is the reference's fixed-count selection formula
+    (/root/reference/python/simpleicp/pointcloud.py:141-147), whose exact
+    values the gate path must reproduce on device where n_sel is dynamic.
+    numpy's linspace computes fl64(i * fl64(span/div)) (step-based multiply,
+    numpy 2.0 linspace source) and np.round rounds half-to-even, so the spec
+    includes two float64 roundings. Strategy:
+
+      * exact integer q = (i*span) // div, r = (i*span) % div via Horner's
+        method over base-256 digits of i (all carries < 511*div, so plain
+        int32 is exact for any n <= 2^22);
+      * for non-tie slots (2r != div), round by comparing 2r vs div: the
+        float64 value deviates from the exact rational i*span/div by at most
+        2^-52 * span, which cannot cross a half-integer boundary while
+        span*div < 2^51 — always true for n <= 2^20+1, n_sel < 2^31;
+      * for exact-tie slots (i*span/div = q + 1/2), emulate numpy's two
+        roundings in integers: the step error e1 = fl64(span/div) - span/div
+        has magnitude rho/(div*2^k) (rho, k from the 53-bit division
+        remainder, computed by modular doubling), and the product rounding
+        returns the value to exactly q+1/2 iff i*|e1| <= ulp(q+1/2)/2 —
+        a pure integer comparison 2*i*rho vs div*2^(beta-a-2) done in
+        15-bit limbs. Validated against numpy on 250 full sweeps plus 20k
+        constructed tie slots (round-3 model check).
+
+    Domain: 6 <= n <= 2^20+1, 0 <= n_sel < 2^31. Returns (n,) int32.
+    """
+    div = n - 1  # static
+    i32 = jnp.int32
+    span = jnp.maximum(n_sel.astype(i32) - 1, 0)
+    seq = jnp.arange(n, dtype=i32)
+
+    # exact (seq * s_r) divmod div, Horner over base-256 digits of seq
+    s_q = span // div
+    s_r = span % div
+    ndig = max(1, ((n - 1).bit_length() + 7) // 8)
+    q_r = jnp.zeros_like(seq)
+    r = jnp.zeros_like(seq)
+    for kd in reversed(range(ndig)):
+        dig = (seq >> (8 * kd)) & 0xFF
+        t = r * 256 + dig * s_r  # < 511*div < 2^31
+        q_r = q_r * 256 + t // div
+        r = t % div
+    q = seq * s_q + q_r  # <= span
+    base = q + (2 * r > div).astype(i32)
+
+    # ---- numpy-tie emulation (scalar precompute over span/div) ----
+    # a = floor(log2(span/div)); k = 52 - a so span*2^k/div is in [2^52, 2^53)
+    blD = div.bit_length()  # static
+    blS = _bitlength(span)
+    a0 = jnp.maximum(blS - blD, 0)  # span > div whenever ties can matter
+    a = jnp.where((span >> a0) >= div, a0, a0 - 1)
+    k = 52 - a
+    twod = 2 * div  # static
+    x = span % twod
+
+    def dbl(j, xx):
+        return jnp.where(j < k, (2 * xx) % twod, xx)
+
+    x = jax.lax.fori_loop(0, 52, dbl, x)  # span*2^k mod 2*div
+    rem = x % div  # 53-bit division remainder of span*2^k / div
+    m_par = (x - rem) // div  # parity of the floor quotient
+    two_rem = 2 * rem
+    # fl64(span/div) rounds the quotient half-to-even: up iff 2rem > div or
+    # an exact half with odd floor quotient; rho = |rounding residue|
+    sign_pos = (two_rem > div) | ((two_rem == div) & (m_par == 1))
+    rho = jnp.where(sign_pos, div - rem, rem)  # scalar, < div
+
+    # ---- per-slot tie decision ----
+    # beta = bitlength(2q+1) without forming 2q+1 (overflows int32)
+    beta = _bitlength(q) + 1
+    # compare i*|e1| vs ulp(q+1/2)/2  <=>  2*i*rho vs div * 2^(beta-a-2)
+    s_sh = jnp.clip(beta - a - 2, 0, 30)  # >= 0 at genuine ties (beta>=a+2)
+    # lhs = 2*seq*rho in base-2^15 limbs (seq < 2^22, rho < 2^22)
+    a0_, a1_ = seq & 0x7FFF, seq >> 15
+    b0_, b1_ = rho & 0x7FFF, rho >> 15
+    p00 = a0_ * b0_                    # < 2^30
+    pm = a0_ * b1_ + a1_ * b0_         # < 2^23
+    m0 = p00 & 0x7FFF
+    mid = pm + (p00 >> 15)
+    m1 = mid & 0x7FFF
+    m2 = (seq >> 15) * (rho >> 15) + (mid >> 15)
+    l0 = (2 * m0) & 0x7FFF
+    t1 = 2 * m1 + (m0 >> 14)
+    l1 = t1 & 0x7FFF
+    l2 = 2 * m2 + (t1 >> 15)
+    # rhs = div << s_sh in the same limbs (div static, s_sh per-slot)
+    def _rhs_limb(li):
+        sh = s_sh - 15 * li
+        pos = jnp.clip(sh, 0, 14)
+        neg = jnp.clip(-sh, 0, 31)
+        return jnp.where(
+            sh >= 15,
+            0,
+            jnp.where(sh >= 0, (div & (0x7FFF >> pos)) << pos,
+                      (div >> neg) & 0x7FFF),
+        )
+
+    r0, r1, r2 = _rhs_limb(0), _rhs_limb(1), _rhs_limb(2)
+    w_gt = (l2 > r2) | ((l2 == r2) & ((l1 > r1) | ((l1 == r1) & (l0 > r0))))
+    even_round = q + (q & 1)  # np.round(q + 0.5), half to even
+    tie_res = jnp.where(
+        rho == 0,
+        even_round,
+        jnp.where(sign_pos, jnp.where(w_gt, q + 1, even_round),
+                  jnp.where(w_gt, q, even_round)),
+    )
+    return jnp.where(2 * r == div, tie_res, base)
+
+
 def _select_n(sel_mask: jnp.ndarray, n: int):
     """Fixed-count equidistant selection over the *indices* of selected points.
 
     Reproduces select_n_points (/root/reference/python/simpleicp/pointcloud.py:132-147):
     when more than n points are selected, pick round(linspace(0, n_sel-1, n))
-    positions among the compacted selected indices (jnp.round is half-to-even
-    like np.round); otherwise keep all selected points (validity-masked).
+    positions among the compacted selected indices (bit-equal to numpy via
+    round_linspace); otherwise keep all selected points (validity-masked).
 
     Returns (sel_idx (n,), valid (n,) bool).
     """
@@ -113,24 +236,7 @@ def _select_n(sel_mask: jnp.ndarray, n: int):
     compacted = jnp.nonzero(sel_mask, size=nf, fill_value=0)[0]
     need_subsample = n_sel > n
     seq = jnp.arange(n, dtype=jnp.int32)
-    # round(i * span / (n-1)) computed exactly in int32 (round half-to-even,
-    # like np.round). Float linspace is NOT used: f32 eps * span exceeds 0.5
-    # once n_sel passes ~1e7, deviating from the reference formula. Splitting
-    # span = s_q*(n-1) + s_r keeps every intermediate below n * (n-1) or
-    # n_sel, so plain int32 is exact at any realistic cloud size.
-    span = jnp.maximum(n_sel - 1, 0).astype(jnp.int32)
-    if n > 1:
-        div = jnp.int32(n - 1)
-        s_q = span // div
-        s_r = span % div
-        num_r = seq * s_r                       # < n*(n-1), int32-safe
-        q = seq * s_q + num_r // div            # <= span
-        r = num_r % div
-        lin = q + (2 * r > div).astype(jnp.int32) + (
-            (2 * r == div) & (q % 2 == 1)
-        ).astype(jnp.int32)
-    else:
-        lin = jnp.zeros((n,), jnp.int32)
+    lin = round_linspace(n_sel, n) if n > 1 else jnp.zeros((n,), jnp.int32)
     pos = jnp.where(need_subsample, lin, jnp.minimum(seq, nf - 1))
     valid = jnp.where(need_subsample, jnp.ones(n, bool), seq < n_sel)
     sel_idx = compacted[jnp.clip(pos, 0, nf - 1)]

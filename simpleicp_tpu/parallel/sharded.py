@@ -185,57 +185,42 @@ def _ring_min_dist2_grid(Qf_local, f_valid, Xm_local, m_valid, radius,
 def _sharded_select_n(sel_local, Xf_local, C, axis, ndev, dtype):
     """Distributed fixed-count equidistant selection.
 
-    Gives every selected point its global rank via a cross-device exclusive
-    scan, then tests membership in the round(linspace(0, n_sel-1, C)) pick
-    set analytically (at most one linspace slot can round to a given rank
-    because the subsampling stride exceeds 1), and scatters the winners into
-    replicated (C, .) buffers with psum. Exactly reproduces
+    Every slot j's target is the GLOBAL selection rank
+    rho_j = round(linspace(0, n_sel-1, C))[j], computed replicated with the
+    same exact int32 construction as the single-chip engine
+    (models.icp.round_linspace — bit-equal to numpy's float64 linspace, no
+    f32 rounding at any n_sel). Each device owns ranks
+    [offset, offset+count_local); it compacts its local selected rows once
+    and serves the slots whose target rank it owns; one psum assembles the
+    replicated (C, .) winners. Exactly reproduces
     /root/reference/python/simpleicp/pointcloud.py:141-147 under sharding.
 
     Returns (Q (C,3) replicated, sel_gidx (C,), valid (C,), n_sel).
     """
+    from ..models.icp import round_linspace
+
     rows = sel_local.shape[0]
     me = lax.axis_index(axis)
     counts = lax.all_gather(jnp.sum(sel_local), axis)  # (ndev,)
     offset = jnp.sum(jnp.where(jnp.arange(ndev) < me, counts, 0))
+    count_local = jnp.sum(sel_local)
     n_sel = jnp.sum(counts)
 
-    rank = jnp.cumsum(sel_local) - 1 + offset  # global rank of each sel point
-
     need_sub = n_sel > C
-    span = jnp.maximum(n_sel - 1, 1).astype(dtype)
-    denom = jnp.asarray(C - 1, dtype)
+    j = jnp.arange(C, dtype=jnp.int32)
+    lin = round_linspace(n_sel, C) if C > 1 else jnp.zeros((C,), jnp.int32)
+    rho = jnp.where(need_sub, lin, j)  # target global rank per slot
+    valid = jnp.where(need_sub, jnp.ones(C, bool), j < n_sel)
 
-    def hits(j):
-        v = jnp.round(j.astype(dtype) * span / denom)
-        return (v == rank.astype(dtype)) & (j >= 0) & (j < C)
-
-    j0 = jnp.floor(rank.astype(dtype) * denom / span).astype(jnp.int32)
-    hit0 = hits(j0)
-    hit1 = hits(j0 + 1)
-    chosen_sub = hit0 | hit1
-    slot_sub = jnp.where(hit0, j0, j0 + 1)
-
-    chosen = sel_local & jnp.where(need_sub, chosen_sub, rank < C)
-    slot = jnp.where(need_sub, slot_sub, rank.astype(jnp.int32))
-    slot = jnp.where(chosen, slot, C)  # out-of-range -> dropped by scatter
-
-    Q = (
-        jnp.zeros((C, 3), dtype)
-        .at[slot]
-        .add(Xf_local, mode="drop")
-    )
-    gidx_local = me * rows + jnp.arange(rows, dtype=jnp.int32)
-    sel_gidx = (
-        jnp.zeros((C,), jnp.int32)
-        .at[slot]
-        .add(jnp.where(chosen, gidx_local, 0), mode="drop")
-    )
+    # local row of the k-th locally-selected point
+    compacted = jnp.nonzero(sel_local, size=rows, fill_value=0)[0]
+    lk = rho - offset.astype(jnp.int32)  # local rank of each slot's target
+    mine = (lk >= 0) & (lk < count_local) & valid
+    row = compacted[jnp.clip(lk, 0, rows - 1)]
+    Q = jnp.where(mine[:, None], Xf_local[row], 0.0)
+    sel_gidx = jnp.where(mine, (me * rows + row).astype(jnp.int32), 0)
     Q = lax.psum(Q, axis)
     sel_gidx = lax.psum(sel_gidx, axis)
-    valid = jnp.where(
-        need_sub, jnp.ones(C, bool), jnp.arange(C) < n_sel
-    )
     return Q, sel_gidx, valid, n_sel
 
 

@@ -206,3 +206,70 @@ def test_select_n_gated_matches_reference_formula_at_scale():
         ref = np.round(np.linspace(0, n_sel - 1, C)).astype(np.int64)
         assert np.asarray(valid).all()
         np.testing.assert_array_equal(np.asarray(idx, np.int64), ref)
+
+
+def test_round_linspace_bit_equality_sweep():
+    """round_linspace must be BIT-equal to np.round(np.linspace(0, n_sel-1,
+    C)) — including numpy's float64 artifacts at exact-half ties — across
+    the (C, n_sel) grid of the round-2 verdict, in pure int32 arithmetic
+    (no x64 dependence). Includes the C=60000 x n_sel=48_059_199 repro
+    where the round-2 code returned 24 207 wrong indices (int32 overflow
+    of seq*s_r), and tie-heavy pairs where exact-rational rounding differs
+    from numpy's fl(i*fl(span/div))."""
+    import jax
+    import jax.numpy as jnp
+
+    from simpleicp_tpu.models.icp import round_linspace
+
+    cases = [
+        # the verdict's numerically-verified failures
+        (60_000, 48_059_199),
+        (100_000, 100_100_100),
+        # verdict sweep corners
+        (1000, 1_000_000),
+        (1000, 100_000_000),
+        (100_000, 1_000_000),
+        (100_000, 100_000_000),
+        # numpy-vs-exact-rational tie cases (model-check mismatch list):
+        # exact half-integer rationals where numpy's two float roundings
+        # disagree with exact round-half-even
+        (79_133, 1_000_000),
+        (79_133, 2_636_235),
+        (75_395, 100_000_000),
+        (76_215, 100_000_000),
+        (105_361, 1_000_007),
+        (1567, 33_554_432),
+        (4909, 98_102_698),
+        # even divisors / powers of two
+        (1024, 33_554_432),
+        (4097, 2**27 + 13),
+        (65_536, 2**30 + 1),
+    ]
+    rng = np.random.default_rng(123)
+    for _ in range(10):
+        cases.append(
+            (int(rng.integers(1000, 150_001)), int(rng.integers(10**6, 10**8)))
+        )
+    fn = jax.jit(round_linspace, static_argnums=1)
+    for C, n_sel in cases:
+        got = np.asarray(fn(jnp.int32(n_sel), C), np.int64)
+        ref = np.round(np.linspace(0, n_sel - 1, C)).astype(np.int64)
+        np.testing.assert_array_equal(got, ref, err_msg=f"C={C} n_sel={n_sel}")
+
+
+def test_select_n_big_c_overflow_regression(rng):
+    """C > 46341 makes seq*s_r overflow int32 (n*(n-1) > 2^31) — the round-2
+    bug. End-to-end _select_n at such C must still pick the exact reference
+    positions among a random selected subset."""
+    import jax.numpy as jnp
+
+    from simpleicp_tpu.models.icp import _select_n
+
+    nf, n_sel, C = 5_000_000, 3_987_654, 60_000
+    mask = np.zeros(nf, bool)
+    sel = np.sort(rng.choice(nf, size=n_sel, replace=False))
+    mask[sel] = True
+    idx, valid = _select_n(jnp.asarray(mask), C)
+    ref = sel[np.round(np.linspace(0, n_sel - 1, C)).astype(np.int64)]
+    assert np.asarray(valid).all()
+    np.testing.assert_array_equal(np.asarray(idx, np.int64), ref)

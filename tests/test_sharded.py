@@ -116,6 +116,42 @@ def test_sharded_grid_gate_matches_brute(rng):
     assert int(rb.n_iterations) == int(rg.n_iterations)
 
 
+def test_sharded_select_n_big_c_exact(rng):
+    """Distributed fixed-count selection at C > 46341 (the int32-overflow
+    regime of the round-2 verdict) with an uneven random mask: slot-for-slot
+    bit-equality with the reference np.round(np.linspace) formula — the
+    round-2 float-rounding construction dropped/duplicated slots at scale."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from simpleicp_tpu.parallel.sharded import _sharded_select_n
+
+    ndev = 8
+    rows = 262_144  # per-shard
+    nf = ndev * rows
+    C = 60_000
+    mask = rng.random(nf) < 0.8
+    n_sel = int(mask.sum())
+    assert n_sel > C
+    Xf = rng.standard_normal((nf, 3))
+
+    mesh = make_mesh(ndev)
+    fn = shard_map(
+        lambda s, x: _sharded_select_n(s, x, C, "points", ndev, jnp.float64),
+        mesh=mesh,
+        in_specs=(P("points"), P("points", None)),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    Q, gidx, valid, n_sel_dev = fn(jnp.asarray(mask), jnp.asarray(Xf))
+    assert int(n_sel_dev) == n_sel
+    assert np.asarray(valid).all()
+    sel = np.nonzero(mask)[0]
+    ref_idx = sel[np.round(np.linspace(0, n_sel - 1, C)).astype(np.int64)]
+    np.testing.assert_array_equal(np.asarray(gidx, np.int64), ref_idx)
+    np.testing.assert_array_equal(np.asarray(Q), Xf[ref_idx])
+
+
 def test_multihost_helpers_single_process():
     from simpleicp_tpu.parallel import process_info
 
