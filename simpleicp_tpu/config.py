@@ -45,7 +45,12 @@ class IcpConfig:
             (observations, frozen parameters, weights). "linearized" performs
             one small-angle increment solve per iteration like the
             C++/Rust/Julia/MATLAB family (SURVEY.md §2.8).
-        gn_iterations: inner Gauss-Newton steps for the "nonlinear" solver.
+        gn_iterations: MAX inner Gauss-Newton steps for the "nonlinear"
+            solver. The inner loop is self-certifying: it exits once the
+            relative step falls below 64*eps (machine-precision
+            stationarity), so warm iterations take 2-4 steps and this cap
+            only bounds pathological geometry. The per-iteration relative
+            step is surfaced as IcpResult.iter_gn_rel_steps.
         query_tile / ref_tile: tile sizes of the distance kernels.
         use_pallas: use the hand-scheduled Pallas NN kernel for the overlap
             gate on TPU. Off by default: measured, the lax kernel wins at
@@ -63,7 +68,7 @@ class IcpConfig:
     distance_weights: Optional[float] = 1.0
     mad_scale: float = 1.4826
     solver: str = "nonlinear"
-    gn_iterations: int = 8
+    gn_iterations: int = 24
     # Outlier-rejection staging (SURVEY.md Q5): "python" filters planarity
     # first and computes median/MAD on the survivors (reference Python);
     # "joint" computes median/MAD on ALL matched distances and applies both

@@ -72,6 +72,10 @@ class IcpResult(NamedTuple):
     iter_midx: jnp.ndarray          # (T,C) matched movable indices / iteration
     iter_masks: jnp.ndarray         # (T,C) post-rejection validity / iteration
     iter_dists: jnp.ndarray         # (T,C) pre-optim matched p2plane distances
+    iter_gn_rel_steps: jnp.ndarray  # (T,) last inner-GN relative step per
+                                    # iteration (0 for the linearized solver;
+                                    # <= the 64*eps exit tol when the inner
+                                    # loop certified convergence)
 
 
 class _Carry(NamedTuple):
@@ -96,6 +100,7 @@ class _Carry(NamedTuple):
     iter_midx: jnp.ndarray
     iter_masks: jnp.ndarray
     iter_dists: jnp.ndarray
+    iter_gn: jnp.ndarray
 
 
 def _bitlength(x: jnp.ndarray) -> jnp.ndarray:
@@ -324,12 +329,15 @@ def run_icp_loop(Q, normals, planarity, sel_valid, obs_vals, obs_w,
             dw = c.dist_w
 
         if nonlinear:
-            p_new, residuals = gn_solve(
+            p_new, residuals, gn_rel = gn_solve(
                 c.p, m_orig, Q, normals, mask, dw, obs_vals, obs_w,
                 n_steps=cfg.gn_iterations,
             )
             H_new = rbp_to_H(p_new)
         else:
+            # single-increment solve by design (native family): the inner
+            # stationarity measure does not apply
+            gn_rel = jnp.asarray(0.0, dtype)
             dH, residuals, _ = linearized_solve(m_t, Q, normals, mask)
             H_new = dH @ c.H  # dH * H composition (SURVEY.md Q2)
             a1, a2, a3 = rotation_matrix_to_euler_angles(H_new)
@@ -372,6 +380,7 @@ def run_icp_loop(Q, normals, planarity, sel_valid, obs_vals, obs_w,
             iter_midx=c.iter_midx.at[c.it].set(m_idx),
             iter_masks=c.iter_masks.at[c.it].set(mask),
             iter_dists=c.iter_dists.at[c.it].set(d),
+            iter_gn=c.iter_gn.at[c.it].set(gn_rel),
         )
 
     init = _Carry(
@@ -399,6 +408,7 @@ def run_icp_loop(Q, normals, planarity, sel_valid, obs_vals, obs_w,
         iter_midx=jnp.zeros((T if cfg.record_trajectory else 1, C), jnp.int32),
         iter_masks=jnp.zeros((T if cfg.record_trajectory else 1, C), bool),
         iter_dists=jnp.zeros((T if cfg.record_trajectory else 1, C), dtype),
+        iter_gn=jnp.zeros((T,), dtype),
     )
 
     final = jax.lax.while_loop(cond, body, init)
@@ -562,6 +572,7 @@ def _icp_run(Xf, Xm, obs_vals, obs_w, normals_fix, planarity_fix,
         iter_midx=final.iter_midx,
         iter_masks=final.iter_masks,
         iter_dists=final.iter_dists,
+        iter_gn_rel_steps=final.iter_gn,
     )
 
 

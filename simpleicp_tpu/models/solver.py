@@ -8,8 +8,10 @@ iteration (/root/reference/c++/src/corrpts.cpp:110-156,
 /root/reference/rust/src/icp.rs:310-347). Here both solver families are
 closed-form on-device reductions:
 
-  * `gn_solve` — a fixed-length Gauss-Newton inner loop over the six absolute
-    parameters with the exact Euler rotation and analytic (jacfwd) Jacobians,
+  * `gn_solve` — a self-certifying Gauss-Newton inner loop (early exit at
+    machine-precision stationarity, capped at `gn_iterations`) over the six
+    absolute parameters with the exact Euler rotation and analytic (jacfwd)
+    Jacobians,
     masked J^T W J / J^T W r 6x6 normal equations, weighted parameter
     observations, and inf-weight (frozen) parameter elimination. This
     reproduces the reference Python semantics (the behavioral superset).
@@ -174,7 +176,7 @@ def gn_solve(p0: jnp.ndarray, xm: jnp.ndarray, xf: jnp.ndarray, n: jnp.ndarray,
     def residual_fn(p):
         return point_to_plane_residuals(p, xm64, xf64, n64)
 
-    def step(p, _):
+    def gn_step(p):
         r = residual_fn(p)
         J = jax.jacfwd(residual_fn)(p)
         N, b = _masked_normal_equations(J, r, w2)
@@ -190,12 +192,30 @@ def gn_solve(p0: jnp.ndarray, xm: jnp.ndarray, xf: jnp.ndarray, n: jnp.ndarray,
         # trace-average would crush the small block. For any PSD N with
         # positive diagonal, N + lambda*diag(N) is positive definite.
         N = N + jnp.diag(jnp.diagonal(N) * 1e-9 + 1e-30)
-        delta = solve_spd6(N, b)
-        return p - delta, None
+        return solve_spd6(N, b)
 
-    p_final, _ = jax.lax.scan(step, p_start, None, length=n_steps)
+    # Stationarity threshold: near the optimum the GN step size IS the
+    # distance to the stationary point (quadratic local convergence), so a
+    # relative step below a small multiple of eps certifies convergence to
+    # the dtype's precision floor. 64*eps = ~1.4e-14 in f64, ~7.6e-6 in f32.
+    tol = 64.0 * jnp.finfo(f64).eps
+
+    def cond(carry):
+        p, rel, it = carry
+        return (it < n_steps) & (rel > tol)
+
+    def body(carry):
+        p, _, it = carry
+        delta = gn_step(p)
+        p_new = p - delta
+        rel = jnp.linalg.norm(delta) / (1.0 + jnp.linalg.norm(p_new))
+        return p_new, rel, it + 1
+
+    p_final, rel_last, _ = jax.lax.while_loop(
+        cond, body, (p_start, jnp.asarray(jnp.inf, f64), jnp.int32(0))
+    )
     residuals = residual_fn(p_final)
-    return p_final.astype(dtype), residuals.astype(dtype)
+    return p_final.astype(dtype), residuals.astype(dtype), rel_last.astype(dtype)
 
 
 def linearized_solve(xm_t: jnp.ndarray, xf: jnp.ndarray, n: jnp.ndarray,

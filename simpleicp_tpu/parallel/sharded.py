@@ -396,6 +396,7 @@ def _icp_run_sharded(Xf, f_valid, Xm, m_valid, ext_sel, obs_vals, obs_w,
             iter_midx=final.iter_midx,
             iter_masks=final.iter_masks,
             iter_dists=final.iter_dists,
+            iter_gn_rel_steps=final.iter_gn,
         )
 
     sharded = P(axis)
@@ -408,7 +409,7 @@ def _icp_run_sharded(Xf, f_valid, Xm, m_valid, ext_sel, obs_vals, obs_w,
         orig_count=rep, orig_mean=rep, orig_std=rep, residuals=rep,
         residual_mask=rep, distance_weight=rep, sel_idx=rep, sel_valid=rep,
         normals=rep, planarity=rep, iter_ps=rep, iter_midx=rep,
-        iter_masks=rep, iter_dists=rep,
+        iter_masks=rep, iter_dists=rep, iter_gn_rel_steps=rep,
     )
     return shard_map(
         spmd,
