@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Big-correspondence exact registration on real hardware — the round-2
+verdict's top item: C=1e5 x 12.5M configs must EXECUTE (host-chunked
+dispatch) instead of being refused by the watchdog guard.
+
+Three runs on a tiled-dragon 12.5M x 12.5M pair:
+
+  1. headline: C=1e5, UNGATED EXACT brute match (1.25e12 pairs/iteration),
+     true dragon misalignment, dispatch='auto' -> chunked (the config that
+     crashed the TPU worker in round 2 and was then refused). Records wall
+     time, chunk count, iterations, final H.
+  2. escape hatch (round-2 verdict item 5): C=1e5 with a tight
+     match_radius (grid matcher, cells shrink with the radius) on a
+     NEAR-ALIGNED pair — the monolithic-within-budget path for coarsely
+     pre-aligned production workloads.
+  3. cross-engine check: the chunked brute matcher on run 2's clouds —
+     exact-NN engines must agree (grid == brute under the nonlinear
+     solver; near-tie caveat only for the linearized family).
+
+Timing per CLAUDE.md: device-resident inputs, perturbed between repeats,
+forced readback. Run standalone: python scripts/bench_bigc.py [--n 12.5e6]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DATA = "/root/reference/data"
+
+
+def tile_cloud(X, n_target: int, spacing: float):
+    import jax.numpy as jnp
+
+    n = X.shape[0]
+    times = -(-n_target // n)
+    k = math.ceil(times ** (1.0 / 3.0))
+    ii = jnp.arange(k * k * k, dtype=X.dtype)[:times]
+    off = jnp.stack([ii % k, (ii // k) % k, ii // (k * k)], axis=1) * spacing
+    return (X[None, :, :] + off[:, None, :]).reshape(-1, 3)[:n_target]
+
+
+def run_one(tag, X_fix, X_mov, cfg, repeats=1):
+    import jax
+    import jax.numpy as jnp
+
+    from simpleicp_tpu.models.icp import icp_register
+
+    times = []
+    res = None
+    rng = np.random.default_rng(0)
+    for rep in range(repeats + 1):  # rep 0 = compile pass
+        Xm_i = jax.block_until_ready(
+            X_mov + jnp.asarray(rng.uniform(-1e-7, 1e-7, (1, 3)), X_mov.dtype)
+        )
+        t0 = time.perf_counter()
+        res = icp_register(X_fix, Xm_i, cfg)
+        np.asarray(res.H)  # forced readback
+        dt = time.perf_counter() - t0
+        if rep > 0:
+            times.append(dt)
+        print(f"  [{tag}] rep {rep}: {dt:.2f} s "
+              f"(iters={int(res.n_iterations)}, err={int(res.error_code)})",
+              flush=True)
+    return res, (float(np.median(times)) if times else float("nan"))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=float, default=12.5e6)
+    ap.add_argument("--c", type=int, default=100_000)
+    ap.add_argument("--repeats", type=int, default=1)
+    ap.add_argument("--skip-headline", action="store_true")
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from simpleicp_tpu import IcpConfig
+    from simpleicp_tpu.utils.xyz_io import read_xyz
+
+    N = int(args.n)
+    C = args.c
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    X1 = jnp.asarray(read_xyz(f"{DATA}/dragon1.xyz"), dtype)
+    X2 = jnp.asarray(read_xyz(f"{DATA}/dragon2.xyz"), dtype)
+    ext = float(jnp.max(X1[:, 0]) - jnp.min(X1[:, 0]))
+    X_fix = jax.block_until_ready(tile_cloud(X1, N, ext * 1.05))
+    X_mov = jax.block_until_ready(tile_cloud(X2, N, ext * 1.05))
+    # near-aligned pair for the tight-radius escape hatch (coarse
+    # pre-alignment scenario): fixed cloud shifted by ~5x the NN spacing
+    small_t = jnp.asarray([0.012, -0.008, 0.01], dtype)
+    X_mov_near = jax.block_until_ready(X_fix - small_t)
+
+    out = {"n_points": N, "correspondences": C,
+           "backend": jax.default_backend(), "runs": {}}
+
+    # ---- run 2+3 first (smaller compiles, validates the engines) ----
+    print("run 2: tight-radius grid escape hatch (near-aligned)", flush=True)
+    cfg_grid = IcpConfig(
+        correspondences=C, match_method="grid", match_radius=0.05,
+    )
+    res2, t2 = run_one("grid", X_fix, X_mov_near, cfg_grid, args.repeats)
+    out["runs"]["grid_tight_radius"] = {
+        "seconds": round(t2, 2), "iterations": int(res2.n_iterations),
+        "H": np.asarray(res2.H).tolist(),
+        "matched_all": bool(np.asarray(res2.iter_counts)[0] > 0),
+    }
+
+    print("run 3: chunked exact brute on the same near-aligned pair",
+          flush=True)
+    cfg_brute = IcpConfig(correspondences=C)  # dispatch auto -> chunked
+    res3, t3 = run_one("brute-near", X_fix, X_mov_near, cfg_brute,
+                       args.repeats)
+    out["runs"]["brute_chunked_near"] = {
+        "seconds": round(t3, 2), "iterations": int(res3.n_iterations),
+        "H": np.asarray(res3.H).tolist(),
+    }
+    dH = np.abs(np.asarray(res2.H) - np.asarray(res3.H)).max()
+    out["cross_engine_max_H_diff"] = float(dH)
+    print(f"cross-engine max |H_grid - H_brute| = {dH:.3e}", flush=True)
+
+    if not args.skip_headline:
+        print("run 1 (headline): C=1e5 ungated exact, true misalignment, "
+              "chunked", flush=True)
+        res1, t1 = run_one("brute-true", X_fix, X_mov, cfg_brute,
+                           args.repeats)
+        out["runs"]["brute_chunked_true"] = {
+            "seconds": round(t1, 2), "iterations": int(res1.n_iterations),
+            "H": np.asarray(res1.H).tolist(),
+            "converged": bool(res1.converged),
+        }
+
+    print(json.dumps(out))
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(out, fh, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

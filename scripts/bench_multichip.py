@@ -59,6 +59,14 @@ def main() -> int:
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (virtual-mesh shakeout; "
                          "pair with xla_force_host_platform_device_count)")
+    ap.add_argument("--overlap", type=float, default=0.0,
+                    help="max_overlap_distance for a GATED sweep (0 = no "
+                         "gate); enables the gate-collective A/B")
+    ap.add_argument("--gate-collective", default="ring",
+                    choices=["ring", "allgather", "both"],
+                    help="sharded gate strategy to time (only with "
+                         "--overlap); 'both' A/Bs ring vs allgather per "
+                         "device count")
     args = ap.parse_args()
 
     import jax
@@ -87,11 +95,17 @@ def main() -> int:
     ext = float(jnp.max(X1[:, 0]) - jnp.min(X1[:, 0]))
     X_fix = jax.block_until_ready(tile_cloud(X1, N, ext * 1.05))
     X_mov = jax.block_until_ready(tile_cloud(X2, N, ext * 1.05))
-    cfg = IcpConfig()
+    collectives = (["ring", "allgather"] if args.gate_collective == "both"
+                   else [args.gate_collective])
+    base_cfg = (IcpConfig(max_overlap_distance=args.overlap)
+                if args.overlap > 0 else IcpConfig())
 
     rng = np.random.default_rng(0)
     rows = []
-    for d in counts:
+    for d, coll in [(d, c) for d in counts for c in collectives]:
+        import dataclasses
+
+        cfg = dataclasses.replace(base_cfg, gate_collective=coll)
         mesh = make_mesh(d)
         # compile + correctness pass (excluded from timing, like bench.py)
         res = icp_register_sharded(X_fix, X_mov, cfg, mesh=mesh)
@@ -108,18 +122,23 @@ def main() -> int:
             times.append(time.perf_counter() - t0)
         t = float(np.median(times))
         pps = N / t
-        base = rows[0]["points_per_s"] if rows else pps
-        eff = pps / (d * rows[0]["points_per_s"]) if rows else 1.0
+        # efficiency vs the smallest device count OF THE SAME collective
+        base_rows = [r for r in rows if r["gate_collective"] == coll]
+        if base_rows:
+            b = base_rows[0]
+            eff = pps / ((d / b["devices"]) * b["points_per_s"])
+        else:
+            eff = 1.0
         rows.append({
-            "devices": d, "seconds": round(t, 3),
+            "devices": d, "gate_collective": coll,
+            "seconds": round(t, 3),
             "points_per_s": round(pps, 1),
             "efficiency_vs_1": round(eff, 3),
             "iterations": int(res.n_iterations),
         })
-        print(f"d={d}: {t:.3f} s, {pps:.3g} pts/s, "
+        print(f"d={d} ({coll}): {t:.3f} s, {pps:.3g} pts/s, "
               f"eff={rows[-1]['efficiency_vs_1']:.0%}, "
               f"iters={rows[-1]['iterations']}", flush=True)
-        del base
 
     out = {"n_points": N, "backend": jax.default_backend(), "rows": rows}
     print(json.dumps(out))

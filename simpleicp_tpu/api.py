@@ -284,6 +284,8 @@ class SimpleICP:
         match_method: str = "auto",
         match_radius: float = 0.0,
         program_budget_s: float = 30.0,
+        dispatch: str = "auto",
+        chunk_iterations: int = 0,
         mesh=None,
         num_devices: int = 0,
     ) -> Tuple[np.ndarray, np.ndarray, RigidBodyParameters, np.ndarray]:
@@ -351,6 +353,8 @@ class SimpleICP:
             match_method=match_method,
             match_radius=match_radius,
             program_budget_s=program_budget_s,
+            dispatch=dispatch,
+            chunk_iterations=chunk_iterations,
             record_trajectory=bool(debug_dirpath),
         )
 

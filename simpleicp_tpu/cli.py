@@ -120,8 +120,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--program-budget", type=float, default=30.0,
         help="single-program device-seconds budget on accelerator backends "
-             "(over-long programs crash TPU workers; estimated host-side "
-             "and refused with guidance; 0 disables the guard)",
+             "(over-long programs crash TPU workers; estimated host-side; "
+             "over-budget configs run CHUNKED in bounded programs, and only "
+             "configs whose prologue or single iteration alone exceeds the "
+             "budget are refused; 0 disables the guard)",
+    )
+    p.add_argument(
+        "--dispatch", choices=["auto", "monolithic", "chunked"],
+        default="auto",
+        help="program shape: one XLA program for the whole registration "
+             "(monolithic), K-iteration programs re-dispatched from the "
+             "host (chunked — identical math, bounded device time per "
+             "program), or pick by the budget estimate (auto)",
+    )
+    p.add_argument(
+        "--chunk-iterations", type=int, default=0,
+        help="iterations per chunked-dispatch program (0 = derive from "
+             "--program-budget)",
     )
     p.add_argument("--quiet", action="store_true")
     return p
@@ -204,6 +219,8 @@ def main(argv=None) -> int:
         match_method=args.match_method,
         match_radius=args.match_radius,
         program_budget_s=args.program_budget,
+        dispatch=args.dispatch,
+        chunk_iterations=args.chunk_iterations,
         num_devices=args.num_devices,
     )
     if args.export:

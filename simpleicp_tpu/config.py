@@ -139,10 +139,37 @@ class IcpConfig:
     # watchdog kill over-long programs AND take the worker down with them
     # (measured 2026-08-19: C=1e5 x 12.5M matches crashed the TPU worker
     # with both matcher engines). icp_register estimates the program's
-    # device seconds host-side (utils/device_policy.py measured rates) and
-    # raises with guidance instead of dispatching a program expected to
-    # exceed this. 0 disables the guard. CPU backends are never guarded.
+    # device seconds host-side (utils/device_policy.py measured rates);
+    # configs over budget run CHUNKED (dispatch="auto" below) in
+    # bounded-size programs, and only configs whose prologue or single
+    # iteration alone exceeds the budget are refused with guidance.
+    # 0 disables the guard. CPU backends are never guarded.
     program_budget_s: float = 30.0
+    # Program dispatch shape. "monolithic": prologue + all iterations in ONE
+    # XLA program — the default winner when it fits the watchdog budget
+    # (one launch, full fusion). "chunked": a prologue program plus
+    # K-iteration while_loop programs re-dispatched from the host with the
+    # carry staying on device — the same math bit-for-bit (the loop body is
+    # shared; tests/test_chunked.py pins field-for-field equality), at the
+    # cost of one dispatch + 3-scalar readback per chunk. "auto" picks
+    # monolithic within budget, chunked beyond it; a monolithic-only refusal
+    # then happens only when ONE iteration or the prologue alone would trip
+    # the watchdog.
+    dispatch: str = "auto"
+    # Iterations per chunk program for chunked dispatch; 0 = derive from
+    # program_budget_s (host-side, utils/device_policy.py rates), or 8 when
+    # no budget applies.
+    chunk_iterations: int = 0
+    # Sharded overlap-gate collective strategy (parallel/sharded.py):
+    # "ring" streams movable blocks/cell-lists around the mesh with ppermute
+    # (constant per-device memory, comms interleaved with compute);
+    # "allgather" materializes the full movable cloud (or all cell lists)
+    # per device in one collective, then sweeps locally (fewer collective
+    # launches, full-cloud memory per device). Bit-identical results —
+    # parity-locked on the virtual mesh; which is faster depends on ICI
+    # bandwidth vs latency, to be A/B'd on real multi-chip hardware
+    # (scripts/bench_multichip.py sweeps both).
+    gate_collective: str = "ring"
 
     def __post_init__(self):
         if self.correspondences < 6:
@@ -171,6 +198,14 @@ class IcpConfig:
             raise ValueError("match_radius must be >= 0")
         if self.program_budget_s < 0:
             raise ValueError("program_budget_s must be >= 0 (0 disables)")
+        if self.dispatch not in ("auto", "monolithic", "chunked"):
+            raise ValueError(
+                "dispatch must be 'auto', 'monolithic' or 'chunked'"
+            )
+        if self.chunk_iterations < 0:
+            raise ValueError("chunk_iterations must be >= 0 (0 = auto)")
+        if self.gate_collective not in ("ring", "allgather"):
+            raise ValueError("gate_collective must be 'ring' or 'allgather'")
         if self.match_method == "grid" and self.match_radius == 0.0 and not (
             math.isfinite(self.max_overlap_distance)
             and self.max_overlap_distance > 0

@@ -248,9 +248,46 @@ def _select_n(sel_mask: jnp.ndarray, n: int):
     return sel_idx, valid
 
 
+def make_carry_init(cfg: IcpConfig, dtype, obs_vals, H0, error0) -> _Carry:
+    """The loop-entry carry (iteration 0, nothing executed) — shared by the
+    monolithic drivers (run_icp_loop without carry_in) and the host-chunked
+    dispatcher, so a chunked run starts from the bit-identical state."""
+    C = cfg.correspondences
+    T = cfg.max_iterations
+    auto_dw = cfg.distance_weights is None
+    dist_w0 = jnp.asarray(1.0 if auto_dw else cfg.distance_weights, dtype)
+    return _Carry(
+        it=jnp.int32(0),
+        p=obs_vals.astype(dtype),
+        H=H0,
+        dist_w=dist_w0,
+        converged=jnp.bool_(False),
+        error=error0,
+        prev_mean=jnp.asarray(jnp.inf, dtype),
+        prev_std=jnp.asarray(jnp.inf, dtype),
+        iter_counts=jnp.zeros((T,), jnp.int32),
+        iter_means=jnp.zeros((T,), dtype),
+        iter_stds=jnp.zeros((T,), dtype),
+        orig_count=jnp.int32(0),
+        orig_mean=jnp.asarray(0.0, dtype),
+        orig_std=jnp.asarray(0.0, dtype),
+        residuals=jnp.zeros((C,), dtype),
+        residual_mask=jnp.zeros((C,), bool),
+        m_idx=jnp.zeros((C,), jnp.int32),
+        # Trajectory buffers shrink to one slot when recording is off (the
+        # .at[it] writes then clamp to slot 0 — dead weight removed from
+        # the carry without a structural branch).
+        iter_ps=jnp.zeros((T if cfg.record_trajectory else 1, 6), dtype),
+        iter_midx=jnp.zeros((T if cfg.record_trajectory else 1, C), jnp.int32),
+        iter_masks=jnp.zeros((T if cfg.record_trajectory else 1, C), bool),
+        iter_dists=jnp.zeros((T if cfg.record_trajectory else 1, C), dtype),
+        iter_gn=jnp.zeros((T,), dtype),
+    )
+
+
 def run_icp_loop(Q, normals, planarity, sel_valid, obs_vals, obs_w,
                  cfg: IcpConfig, dtype, error0, H0, match_fn, gather_fn,
-                 mov_planarity_fn=None):
+                 mov_planarity_fn=None, carry_in=None, it_hi=None):
     """The match -> reject -> solve -> converge iteration as a
     `lax.while_loop`, shared by the single-chip and sharded (shard_map)
     drivers. `match_fn(Ht) -> (m_idx, m_t, m_orig, m_valid)` performs the NN
@@ -261,14 +298,23 @@ def run_icp_loop(Q, normals, planarity, sel_valid, obs_vals, obs_w,
     fetches original-frame movable points for the post-loop uncertainty
     estimate.
 
-    Returns (final_carry, uncertainties).
+    Host-chunked dispatch (the scale path — bounded-size device programs):
+    `carry_in` resumes the loop from a previous call's carry, and `it_hi`
+    (traced int32) stops after iteration index it_hi-1 even when not yet
+    converged. The loop body is identical either way, so K iterations per
+    program compose bit-exactly to the monolithic while_loop; the
+    uncertainty estimate depends only on the final carry, so the last
+    chunk's value is the monolithic one.
+
+    Returns (final_carry, uncertainties, covariance).
     """
-    C = cfg.correspondences
     T = cfg.max_iterations
     auto_dw = cfg.distance_weights is None
-    dist_w0 = jnp.asarray(1.0 if auto_dw else cfg.distance_weights, dtype)
     min_planarity = jnp.asarray(cfg.min_planarity, dtype)
     nonlinear = cfg.solver == "nonlinear"
+    hi = jnp.int32(T) if it_hi is None else jnp.minimum(
+        jnp.asarray(it_hi, jnp.int32), T
+    )
 
     # Numerical noise floor of the residual statistics: point-to-plane
     # distances are differences of transformed coordinates, so their rounding
@@ -287,7 +333,7 @@ def run_icp_loop(Q, normals, planarity, sel_valid, obs_vals, obs_w,
         )
 
     def cond(c: _Carry):
-        return (c.it < T) & (~c.converged) & (c.error == ERR_OK)
+        return (c.it < hi) & (~c.converged) & (c.error == ERR_OK)
 
     def body(c: _Carry) -> _Carry:
         Ht = rbp_to_H(c.p) if nonlinear else c.H
@@ -383,33 +429,8 @@ def run_icp_loop(Q, normals, planarity, sel_valid, obs_vals, obs_w,
             iter_gn=c.iter_gn.at[c.it].set(gn_rel),
         )
 
-    init = _Carry(
-        it=jnp.int32(0),
-        p=obs_vals.astype(dtype),
-        H=H0,
-        dist_w=dist_w0,
-        converged=jnp.bool_(False),
-        error=error0,
-        prev_mean=jnp.asarray(jnp.inf, dtype),
-        prev_std=jnp.asarray(jnp.inf, dtype),
-        iter_counts=jnp.zeros((T,), jnp.int32),
-        iter_means=jnp.zeros((T,), dtype),
-        iter_stds=jnp.zeros((T,), dtype),
-        orig_count=jnp.int32(0),
-        orig_mean=jnp.asarray(0.0, dtype),
-        orig_std=jnp.asarray(0.0, dtype),
-        residuals=jnp.zeros((C,), dtype),
-        residual_mask=jnp.zeros((C,), bool),
-        m_idx=jnp.zeros((C,), jnp.int32),
-        # Trajectory buffers shrink to one slot when recording is off (the
-        # .at[it] writes then clamp to slot 0 — dead weight removed from
-        # the carry without a structural branch).
-        iter_ps=jnp.zeros((T if cfg.record_trajectory else 1, 6), dtype),
-        iter_midx=jnp.zeros((T if cfg.record_trajectory else 1, C), jnp.int32),
-        iter_masks=jnp.zeros((T if cfg.record_trajectory else 1, C), bool),
-        iter_dists=jnp.zeros((T if cfg.record_trajectory else 1, C), dtype),
-        iter_gn=jnp.zeros((T,), dtype),
-    )
+    init = (make_carry_init(cfg, dtype, obs_vals, H0, error0)
+            if carry_in is None else carry_in)
 
     final = jax.lax.while_loop(cond, body, init)
 
@@ -422,18 +443,17 @@ def run_icp_loop(Q, normals, planarity, sel_valid, obs_vals, obs_w,
     return final, uncertainties, covariance
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "has_normals", "has_mov_planarity", "has_ext_sel"),
-)
-def _icp_run(Xf, Xm, obs_vals, obs_w, normals_fix, planarity_fix,
-             planarity_mov, ext_sel_mask,
-             *, cfg: IcpConfig, has_normals: bool,
-             has_mov_planarity: bool = False,
-             has_ext_sel: bool = False) -> IcpResult:
+def _prologue_stages(Xf, Xm, obs_vals, normals_fix, planarity_fix,
+                     ext_sel_mask, *, cfg: IcpConfig, has_normals: bool,
+                     has_ext_sel: bool):
+    """Stages 1-4 of the pipeline (initial H, overlap gate, fixed-count
+    selection, normals) — traced inline by the monolithic `_icp_run` and as
+    its own program by the host-chunked dispatcher.
+
+    Returns (Q, normals, planarity, sel_idx, sel_valid, error, H0).
+    """
     dtype = Xf.dtype
     C = cfg.correspondences
-    T = cfg.max_iterations
     qt, rt = cfg.query_tile, (cfg.ref_tile or 4096)
 
     H0 = rbp_to_H(obs_vals)
@@ -490,9 +510,28 @@ def _icp_run(Xf, Xm, obs_vals, obs_w, normals_fix, planarity_fix,
         )
         neigh = Xf[idxk]  # (C, k, 3)
         normals, planarity, _ = estimate_normals_from_neighborhoods(neigh)
+    return Q, normals, planarity, sel_idx, sel_valid, error, H0
+
+
+def _build_match_grid(Xm, cfg: IcpConfig, dtype):
+    """The static-grid matcher's cell list over the ORIGINAL movable cloud
+    (built once — rigid motion preserves distances, so one grid serves every
+    iteration; see _make_match_fn). Returns the 5-tuple of grid arrays."""
+    from ..ops.gridhash import build_sorted_grid
+
+    rm = cfg.match_radius if cfg.match_radius > 0 else cfg.max_overlap_distance
+    return build_sorted_grid(Xm, jnp.asarray(rm, dtype))
+
+
+def _make_match_fn(Q, Xm, cfg: IcpConfig, dtype, grid=None):
+    """The per-iteration NN matcher: match_fn(Ht) -> (m_idx, m_t, m_orig,
+    m_valid). `grid` is the _build_match_grid 5-tuple for
+    match_method='grid' (passed explicitly so the host-chunked dispatcher
+    can build it once in the prologue program and reuse it every chunk)."""
+    qt, rt = cfg.query_tile, (cfg.ref_tile or 4096)
 
     if cfg.match_method == "grid":
-        from ..ops.gridhash import build_sorted_grid, grid_query_sorted
+        from ..ops.gridhash import grid_query_sorted
 
         # Static-grid matcher: ONE cell list over the ORIGINAL movable cloud
         # serves every iteration. Rigid motion preserves distances, so the
@@ -506,7 +545,7 @@ def _icp_run(Xf, Xm, obs_vals, obs_w, normals_fix, planarity_fix,
         # see IcpConfig.match_method for the near-tie caveat.)
         rm = cfg.match_radius if cfg.match_radius > 0 else cfg.max_overlap_distance
         rm = jnp.asarray(rm, dtype)
-        g_pts, g_slots, g_order, g_origin, g_run_end = build_sorted_grid(Xm, rm)
+        g_pts, g_slots, g_order, g_origin, g_run_end = grid
 
         def match_fn(Ht):
             R, t = Ht[:3, :3], Ht[:3, 3]
@@ -534,6 +573,29 @@ def _icp_run(Xf, Xm, obs_vals, obs_w, normals_fix, planarity_fix,
             # and its coordinate planes every iteration (measured 7x slower).
             _, m_idx = nn_search(Q, Xm_t, ref_tile=rt, query_tile=qt)
             return m_idx, Xm_t[m_idx], Xm[m_idx], jnp.ones_like(m_idx, bool)
+
+    return match_fn
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "has_normals", "has_mov_planarity", "has_ext_sel"),
+)
+def _icp_run(Xf, Xm, obs_vals, obs_w, normals_fix, planarity_fix,
+             planarity_mov, ext_sel_mask,
+             *, cfg: IcpConfig, has_normals: bool,
+             has_mov_planarity: bool = False,
+             has_ext_sel: bool = False) -> IcpResult:
+    dtype = Xf.dtype
+
+    Q, normals, planarity, sel_idx, sel_valid, error, H0 = _prologue_stages(
+        Xf, Xm, obs_vals, normals_fix, planarity_fix, ext_sel_mask,
+        cfg=cfg, has_normals=has_normals, has_ext_sel=has_ext_sel,
+    )
+
+    grid = (_build_match_grid(Xm, cfg, dtype)
+            if cfg.match_method == "grid" else None)
+    match_fn = _make_match_fn(Q, Xm, cfg, dtype, grid)
 
     def gather_fn(m_idx):
         return Xm[m_idx]
@@ -573,6 +635,125 @@ def _icp_run(Xf, Xm, obs_vals, obs_w, normals_fix, planarity_fix,
         iter_masks=final.iter_masks,
         iter_dists=final.iter_dists,
         iter_gn_rel_steps=final.iter_gn,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "has_normals", "has_ext_sel", "build_grid"),
+)
+def _icp_prologue_jit(Xf, Xm, obs_vals, normals_fix, planarity_fix,
+                      ext_sel_mask, *, cfg: IcpConfig, has_normals: bool,
+                      has_ext_sel: bool, build_grid: bool):
+    """Chunked dispatch program 1: pipeline stages 1-4 plus (optionally) the
+    grid matcher's one-time cell-list build, so no chunk ever re-sorts the
+    movable cloud."""
+    out = _prologue_stages(
+        Xf, Xm, obs_vals, normals_fix, planarity_fix, ext_sel_mask,
+        cfg=cfg, has_normals=has_normals, has_ext_sel=has_ext_sel,
+    )
+    grid = _build_match_grid(Xm, cfg, Xf.dtype) if build_grid else ()
+    return out + (grid,)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "has_mov_planarity", "use_grid"),
+)
+def _icp_chunk_jit(carry: _Carry, it_hi, Q, normals, planarity, sel_valid,
+                   obs_vals, obs_w, Xm, planarity_mov, grid,
+                   *, cfg: IcpConfig, has_mov_planarity: bool,
+                   use_grid: bool):
+    """Chunked dispatch program 2 (compiled ONCE, re-dispatched per chunk):
+    resume the ICP while_loop from `carry`, stop at iteration `it_hi` (a
+    traced scalar, so every chunk reuses this executable), return the carry
+    plus the uncertainty estimate of its final state (only the last chunk's
+    is used — it depends on nothing but the final carry)."""
+    dtype = Q.dtype
+    match_fn = _make_match_fn(Q, Xm, cfg, dtype, grid if use_grid else None)
+
+    def gather_fn(m_idx):
+        return Xm[m_idx]
+
+    mov_planarity_fn = (
+        (lambda m_idx: planarity_mov[m_idx]) if has_mov_planarity else None
+    )
+    return run_icp_loop(
+        Q, normals, planarity, sel_valid, obs_vals, obs_w, cfg, dtype,
+        jnp.int32(ERR_OK), jnp.eye(4, dtype=dtype),  # unused: carry_in given
+        match_fn, gather_fn, mov_planarity_fn=mov_planarity_fn,
+        carry_in=carry, it_hi=it_hi,
+    )
+
+
+def _icp_run_chunked(Xf, Xm, obs_vals, obs_w, normals_fix, planarity_fix,
+                     planarity_mov, ext_sel_mask,
+                     *, cfg: IcpConfig, has_normals: bool,
+                     has_mov_planarity: bool, has_ext_sel: bool,
+                     chunk_iters: int) -> IcpResult:
+    """Host-chunked registration: the same pipeline as `_icp_run`, executed
+    as a prologue program plus K-iteration loop programs re-dispatched from
+    the host with the carry staying on device.
+
+    This is how big-correspondence exact configs RUN on watchdog-guarded
+    accelerators instead of being refused: each program's device time is
+    bounded by ~K * per-iteration cost (icp_register sizes K from
+    program_budget_s), while the math is bit-identical to the monolithic
+    while_loop — the loop body is shared and the chunk boundary only moves
+    WHERE the loop condition is evaluated (tests/test_chunked.py pins
+    field-for-field equality). Per-chunk cost beyond the compute is one
+    carry re-dispatch (device-resident, donated) and a 3-scalar readback.
+    """
+    dtype = Xf.dtype
+    use_grid = cfg.match_method == "grid"
+    T = cfg.max_iterations
+    K = max(1, int(chunk_iters))
+
+    (Q, normals, planarity, sel_idx, sel_valid, error, H0, grid
+     ) = _icp_prologue_jit(
+        Xf, Xm, obs_vals, normals_fix, planarity_fix, ext_sel_mask,
+        cfg=cfg, has_normals=has_normals, has_ext_sel=has_ext_sel,
+        build_grid=use_grid,
+    )
+    carry = make_carry_init(cfg, dtype, obs_vals.astype(dtype), H0, error)
+
+    while True:
+        hi = min(T, int(carry.it) + K)
+        carry, uncertainties, covariance = _icp_chunk_jit(
+            carry, jnp.int32(hi), Q, normals, planarity, sel_valid,
+            obs_vals, obs_w, Xm, planarity_mov, grid,
+            cfg=cfg, has_mov_planarity=has_mov_planarity, use_grid=use_grid,
+        )
+        if (bool(carry.converged) or int(carry.error) != ERR_OK
+                or int(carry.it) >= T):
+            break
+
+    return IcpResult(
+        H=carry.H,
+        p=carry.p,
+        uncertainties=uncertainties,
+        covariance=covariance,
+        n_iterations=carry.it,
+        converged=carry.converged,
+        error_code=carry.error,
+        iter_counts=carry.iter_counts,
+        iter_means=carry.iter_means,
+        iter_stds=carry.iter_stds,
+        orig_count=carry.orig_count,
+        orig_mean=carry.orig_mean,
+        orig_std=carry.orig_std,
+        residuals=carry.residuals,
+        residual_mask=carry.residual_mask,
+        distance_weight=carry.dist_w,
+        sel_idx=sel_idx,
+        sel_valid=sel_valid,
+        normals=normals,
+        planarity=planarity,
+        iter_ps=carry.iter_ps,
+        iter_midx=carry.iter_midx,
+        iter_masks=carry.iter_masks,
+        iter_dists=carry.iter_dists,
+        iter_gn_rel_steps=carry.iter_gn,
     )
 
 
@@ -678,39 +859,6 @@ def icp_register(
             match_cell_cap=grid_cell_cap(np.asarray(X_mov, np.float64), rm),
         )
 
-    # Watchdog guard: refuse programs expected to exceed the single-program
-    # device-time budget instead of crashing a shared worker (see
-    # IcpConfig.program_budget_s; rates in utils/device_policy.py).
-    if cfg.program_budget_s > 0 and jax.default_backend() != "cpu":
-        from ..utils.device_policy import estimate_tpu_program_seconds
-
-        nf_, nm_ = Xf.shape[0], Xm.shape[0]
-        gate_pairs = (
-            float(nf_) * nm_
-            if cfg.overlap_enabled
-            and (cfg.gate_method == "brute"
-                 or (cfg.gate_method == "auto" and nf_ * nm_ <= 2**40))
-            else 0.0
-        )
-        est = estimate_tpu_program_seconds(
-            nf_, nm_,
-            correspondences=cfg.correspondences,
-            gate_pairs=gate_pairs,
-            match_method=cfg.match_method,
-            match_cell_cap=cfg.match_cell_cap,
-        )
-        if est > cfg.program_budget_s:
-            raise ValueError(
-                f"this configuration is estimated at ~{est:.0f} s of device "
-                f"time in ONE program, over the program_budget_s="
-                f"{cfg.program_budget_s:g} watchdog guard (over-long "
-                "programs crash TPU workers). Reduce `correspondences`, "
-                "set a small `match_radius` (grid-matcher cells shrink "
-                "with it), run sharded across chips, use --device cpu, or "
-                "raise/disable program_budget_s if your runtime allows "
-                "long programs."
-            )
-
     # Resolve the overlap-gate engine (static choice, host-side). The dense
     # sweep runs at ~1e12 distance-pairs/s on the VPU, so brute wins below
     # ~1e12 pairs (TPU random gathers are slow: bunny grid 427ms vs brute
@@ -814,10 +962,88 @@ def icp_register(
     has_ext_sel = ext_sel_mask is not None
     if not has_ext_sel:
         ext_sel_mask = jnp.zeros((1,), bool)
+
+    # ---- Dispatch planning (host-side): monolithic vs host-chunked ----
+    # Within program_budget_s the whole registration runs as ONE program
+    # (fastest: one launch, full fusion). Over budget, dispatch="auto"
+    # routes to the chunked driver — bounded-size programs, bit-identical
+    # math — sized so each chunk stays well under the watchdog. Only a
+    # config whose PROLOGUE or single ITERATION alone exceeds the budget is
+    # refused (no program shape can run it).
+    import dataclasses
+
+    from ..utils.device_policy import estimate_tpu_stage_seconds
+
+    dispatch = cfg.dispatch
+    chunk_k = cfg.chunk_iterations
+    budget = cfg.program_budget_s
+    guarded = budget > 0 and jax.default_backend() != "cpu"
+    if guarded:
+        nf_, nm_ = Xf.shape[0], Xm.shape[0]
+        gate_pairs = (
+            float(nf_) * nm_
+            if cfg.overlap_enabled and not has_ext_sel
+            and cfg.gate_method == "brute"
+            else 0.0
+        )
+        prologue_s, per_iter_s = estimate_tpu_stage_seconds(
+            nf_, nm_,
+            correspondences=cfg.correspondences,
+            gate_pairs=gate_pairs,
+            match_method=cfg.match_method,
+            match_cell_cap=cfg.match_cell_cap,
+        )
+        # the monolithic program runs up to max_iterations; guard on the
+        # typical converged count like round 2 (healthy runs finish in ~10)
+        est = prologue_s + min(10, cfg.max_iterations) * per_iter_s
+        if max(prologue_s, per_iter_s) > budget * 0.9:
+            raise ValueError(
+                f"this configuration is estimated at ~{prologue_s:.0f} s "
+                f"prologue + ~{per_iter_s:.0f} s per iteration of device "
+                f"time — even one chunked program would exceed the "
+                f"program_budget_s={budget:g} watchdog guard (over-long "
+                "programs crash TPU workers). Reduce `correspondences`, "
+                "set a small `match_radius` (grid-matcher cells shrink "
+                "with it), run sharded across chips, use --device cpu, or "
+                "raise/disable program_budget_s if your runtime allows "
+                "long programs."
+            )
+        if dispatch == "monolithic" and est > budget:
+            raise ValueError(
+                f"this configuration is estimated at ~{est:.0f} s of device "
+                f"time in ONE program, over the program_budget_s="
+                f"{budget:g} watchdog guard (over-long programs crash TPU "
+                "workers). Use dispatch='auto'/'chunked' (bounded-size "
+                "programs, identical math), reduce `correspondences`, or "
+                "raise/disable program_budget_s if your runtime allows "
+                "long programs."
+            )
+        if dispatch == "auto":
+            dispatch = "monolithic" if est <= budget else "chunked"
+        if dispatch == "chunked" and chunk_k == 0:
+            # half the budget per chunk: 2x headroom on the measured rates
+            chunk_k = max(1, int((budget * 0.5) / max(per_iter_s, 1e-9)))
+    else:
+        if dispatch == "auto":
+            dispatch = "monolithic"
+        if chunk_k == 0:
+            chunk_k = 8
+
+    # dispatch fields never reach the trace; normalize them out of the jit
+    # static argument so plan changes don't recompile identical programs
+    run_cfg = dataclasses.replace(cfg, dispatch="auto", chunk_iterations=0)
+    if dispatch == "chunked":
+        return _icp_run_chunked(
+            Xf, Xm, obs_vals, obs_w, normals_arr, planarity_arr,
+            planarity_mov_arr, ext_sel_mask,
+            cfg=run_cfg, has_normals=has_normals,
+            has_mov_planarity=has_mov_planarity,
+            has_ext_sel=has_ext_sel, chunk_iters=chunk_k,
+        )
     return _icp_run(
         Xf, Xm, obs_vals, obs_w, normals_arr, planarity_arr,
         planarity_mov_arr, ext_sel_mask,
-        cfg=cfg, has_normals=has_normals,
+        cfg=run_cfg, has_normals=has_normals,
         has_mov_planarity=has_mov_planarity,
         has_ext_sel=has_ext_sel,
     )

@@ -182,6 +182,61 @@ def _ring_min_dist2_grid(Qf_local, f_valid, Xm_local, m_valid, radius,
     return jnp.where(f_valid, best, jnp.inf)
 
 
+def _allgather_min_dist2(Qf_local, f_valid, Xm_local, m_valid, axis,
+                         ref_tile, query_tile):
+    """All-gather variant of the dense overlap gate: materialize the full
+    movable cloud on every device with ONE collective, then a single local
+    sweep. Same result as _ring_min_dist2 bit-for-bit (the tiled sweep over
+    the concatenated blocks visits the same points in the same order).
+
+    Trade-off vs the ring: one big all_gather up front (full movable cloud
+    per device — memory-bound at very large clouds) instead of ndev
+    ppermute hops interleaved with compute; which wins depends on the
+    ICI bandwidth/latency point, so both stay behind `gate_collective` for
+    the first real multi-chip A/B (scripts/bench_multichip.py sweeps it).
+    """
+    blocks = lax.all_gather(Xm_local, axis)  # (ndev, rows, 3)
+    masks = lax.all_gather(m_valid, axis)
+    Xm_full = blocks.reshape(-1, 3)
+    m_full = masks.reshape(-1)
+    d2, _ = nn_search(
+        Qf_local, Xm_full, ref_tile=ref_tile, query_tile=query_tile,
+        ref_mask=m_full,
+    )
+    return jnp.where(f_valid, d2, jnp.inf)
+
+
+def _allgather_min_dist2_grid(Qf_local, f_valid, Xm_local, m_valid, radius,
+                              cell_cap, axis, ndev):
+    """All-gather variant of the sorted-cell-list gate: each device builds
+    its local cell list on the GLOBAL lattice (same as the ring variant),
+    then the structures are all-gathered once and queried in a local
+    fori_loop — identical per-shard lookups to _ring_min_dist2_grid, with
+    all communication paid up front instead of per hop."""
+    from ..ops.gridhash import build_sorted_grid, grid_query_sorted
+
+    big = jnp.asarray(1e30, Xm_local.dtype)
+    local_min = jnp.min(jnp.where(m_valid[:, None], Xm_local, big), axis=0)
+    origin = lax.pmin(local_min, axis)
+    sorted_pts, sorted_slots, _, _, run_end = build_sorted_grid(
+        Xm_local, radius, valid=m_valid, origin=origin
+    )
+    all_pts = lax.all_gather(sorted_pts, axis)      # (ndev, rows, 3)
+    all_slots = lax.all_gather(sorted_slots, axis)  # (ndev, rows)
+    all_rend = lax.all_gather(run_end, axis)
+
+    def step(s, best):
+        d2, _ = grid_query_sorted(
+            Qf_local, all_pts[s], all_slots[s], origin, radius,
+            cell_cap=cell_cap, run_end=all_rend[s],
+        )
+        return jnp.minimum(best, d2)
+
+    best0 = jnp.full((Qf_local.shape[0],), jnp.inf, Qf_local.dtype)
+    best = lax.fori_loop(0, ndev, step, best0)
+    return jnp.where(f_valid, best, jnp.inf)
+
+
 def _sharded_select_n(sel_local, Xf_local, C, axis, ndev, dtype):
     """Distributed fixed-count equidistant selection.
 
@@ -278,14 +333,21 @@ def _icp_run_sharded(Xf, f_valid, Xm, m_valid, ext_sel, obs_vals, obs_w,
                 sel_l = fv_l & ext_l
             else:
                 Xm0_l = apply_H(Xm_l, H0)
+                ring = cfg.gate_collective == "ring"
                 if cfg.gate_method == "grid":
-                    d2 = _ring_min_dist2_grid(
+                    gate = (_ring_min_dist2_grid if ring
+                            else _allgather_min_dist2_grid)
+                    d2 = gate(
                         Xf_l, fv_l, Xm0_l, mv_l, cfg.max_overlap_distance,
                         max(cfg.grid_cell_cap, 1), axis, ndev,
                     )
-                else:
+                elif ring:
                     d2 = _ring_min_dist2(
                         Xf_l, fv_l, Xm0_l, mv_l, axis, ndev, rt, qt
+                    )
+                else:
+                    d2 = _allgather_min_dist2(
+                        Xf_l, fv_l, Xm0_l, mv_l, axis, rt, qt
                     )
                 sel_l = fv_l & (
                     d2 <= jnp.asarray(cfg.max_overlap_distance, dtype) ** 2
@@ -446,6 +508,14 @@ def icp_register_sharded(
         mesh = make_mesh()
     ndev = int(np.prod(mesh.devices.shape))
     axis = mesh.axis_names[0]
+
+    # The sharded driver is monolithic-only (per-device work shrinks with
+    # the mesh, so the watchdog pressure chunking addresses is a single-chip
+    # concern); normalize the dispatch fields out of the jit-static cfg.
+    if cfg.dispatch != "auto" or cfg.chunk_iterations != 0:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, dispatch="auto", chunk_iterations=0)
 
     # Same NN ref-tile auto-scaling as the single-chip driver, but against
     # the per-shard movable block size (the scan per device runs over its

@@ -61,6 +61,38 @@ def estimate_cpu_seconds(
 # gathers cost ~8-10 ns per gathered element (~1.2e8 elements/s).
 TPU_SWEEP_PAIRS_PER_SEC = 2.4e11
 TPU_GATHER_ELEMS_PER_SEC = 1.2e8
+# Rough device sort throughput (the grid matcher's one-time cell-list
+# build is a key+argsort over the movable cloud). Conservative; the build
+# is a prologue one-off, never per-iteration.
+TPU_SORT_ELEMS_PER_SEC = 2.0e7
+
+
+def estimate_tpu_stage_seconds(
+    nf: int,
+    nm: int,
+    *,
+    correspondences: int = 1000,
+    gate_pairs: float = 0.0,
+    match_method: str = "brute",
+    match_cell_cap: int = 0,
+) -> tuple:
+    """(prologue_seconds, per_iteration_seconds) of a registration on TPU.
+
+    The prologue is the gate (when computed in-program) + the normals kNN
+    (+ the grid matcher's one-time cell-list build); one iteration is the
+    NN match. Used both for the monolithic watchdog guard and to size the
+    per-program iteration count K of the chunked dispatcher.
+    """
+    c = min(correspondences, nf)
+    prologue = (gate_pairs + float(c) * nf) / TPU_SWEEP_PAIRS_PER_SEC
+    if match_method == "grid":
+        prologue += float(nm) / TPU_SORT_ELEMS_PER_SEC
+        # 27 neighbor cells x cap candidate slots x 3 gathered coords
+        per_iter = (float(c) * 27.0 * max(match_cell_cap, 1) * 3.0
+                    / TPU_GATHER_ELEMS_PER_SEC)
+    else:
+        per_iter = float(c) * nm / TPU_SWEEP_PAIRS_PER_SEC
+    return prologue, per_iter
 
 
 def estimate_tpu_program_seconds(
@@ -73,24 +105,21 @@ def estimate_tpu_program_seconds(
     match_cell_cap: int = 0,
     iterations: int = _TYPICAL_ITERATIONS,
 ) -> float:
-    """Rough device-seconds of ONE registration program on the TPU.
+    """Rough device-seconds of ONE monolithic registration program on the
+    TPU.
 
     The whole pipeline (gate + normals kNN + the iterated match) compiles
     into a single XLA program; runtimes with a watchdog kill programs that
     run too long (measured 2026-08-19: a C=1e5 x 12.5M match crashed the
-    worker with BOTH matcher engines). Used by icp_register to refuse such
-    configs host-side instead of crashing a shared worker.
+    worker with BOTH matcher engines). Used by icp_register to route such
+    configs to chunked dispatch host-side instead of crashing a shared
+    worker.
     """
-    c = min(correspondences, nf)
-    gate = gate_pairs / TPU_SWEEP_PAIRS_PER_SEC
-    normals = float(c) * nf / TPU_SWEEP_PAIRS_PER_SEC
-    if match_method == "grid":
-        # 27 neighbor cells x cap candidate slots x 3 gathered coords
-        per_iter = float(c) * 27.0 * max(match_cell_cap, 1) * 3.0
-        loop = iterations * per_iter / TPU_GATHER_ELEMS_PER_SEC
-    else:
-        loop = iterations * float(c) * nm / TPU_SWEEP_PAIRS_PER_SEC
-    return gate + normals + loop
+    prologue, per_iter = estimate_tpu_stage_seconds(
+        nf, nm, correspondences=correspondences, gate_pairs=gate_pairs,
+        match_method=match_method, match_cell_cap=match_cell_cap,
+    )
+    return prologue + iterations * per_iter
 
 
 def resolve_device(

@@ -116,6 +116,34 @@ def test_sharded_grid_gate_matches_brute(rng):
     assert int(rb.n_iterations) == int(rg.n_iterations)
 
 
+def test_allgather_gate_matches_ring(rng):
+    """gate_collective='allgather' (one collective, local sweep) must equal
+    the ring gate bit-for-bit for BOTH gate engines — the two strategies
+    exist for the real-hardware A/B (round-2 verdict item 8); correctness
+    must not depend on which wins."""
+    X_fix = _surface(rng, 3011)
+    X_mov = _surface(rng, 2993) - np.array([0.03, 0.01, -0.02])
+    mesh = make_mesh(8)
+    for gm in ("brute", "grid"):
+        results = {}
+        for coll in ("ring", "allgather"):
+            cfg = IcpConfig(
+                correspondences=200, max_iterations=20,
+                max_overlap_distance=0.5, gate_method=gm,
+                gate_collective=coll,
+            )
+            results[coll] = icp_register_sharded(X_fix, X_mov, cfg, mesh=mesh)
+        rr, ra = results["ring"], results["allgather"]
+        assert int(rr.error_code) == 0 and int(ra.error_code) == 0
+        np.testing.assert_array_equal(
+            np.asarray(rr.sel_idx), np.asarray(ra.sel_idx), err_msg=gm
+        )
+        np.testing.assert_array_equal(
+            np.asarray(rr.H), np.asarray(ra.H), err_msg=gm
+        )
+        assert int(rr.n_iterations) == int(ra.n_iterations)
+
+
 def test_sharded_select_n_big_c_exact(rng):
     """Distributed fixed-count selection at C > 46341 (the int32-overflow
     regime of the round-2 verdict) with an uneven random mask: slot-for-slot
