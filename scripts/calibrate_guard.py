@@ -1,0 +1,216 @@
+#!/usr/bin/env python
+"""Calibrate the watchdog-guard cost model (utils/device_policy.py) on the
+live device: measure the dense distance-sweep rate and the random-gather
+rate at several shapes, report spread, and compare against the constants
+the guard ships with (round-2 verdict: "two point estimates ... a ~2x rate
+error either refuses runnable configs or dispatches a worker-killer").
+
+Timing per CLAUDE.md: perturbed inputs + forced readback, medians.
+
+Usage: python scripts/calibrate_guard.py [--repeats 3] [--out FILE.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _median_time(fn, make_input, repeats):
+    times = []
+    for rep in range(repeats + 1):  # rep 0 = compile
+        x = make_input(rep)
+        t0 = time.perf_counter()
+        np.asarray(fn(*x))
+        dt = time.perf_counter() - t0
+        if rep > 0:
+            times.append(dt)
+    return float(np.median(times))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from simpleicp_tpu.ops.knn import nn_search
+    from simpleicp_tpu.utils import device_policy as dp
+
+    rng = np.random.default_rng(0)
+    out = {"backend": jax.default_backend(), "sweep": [], "gather": []}
+
+    # ---- dense sweep rate: the in-loop brute matcher shape (C queries vs
+    # nm refs), three decades of pair counts ----
+    sweep_shapes = [
+        (1000, 1_000_000, 16384),
+        (10_000, 4_000_000, 65536),
+        (100_000, 12_500_000, 65536),
+    ]
+    sweep = jax.jit(nn_search, static_argnames=("ref_tile", "query_tile"))
+    for C, nm, rt in sweep_shapes:
+        Q0 = rng.standard_normal((C, 3)).astype(np.float32)
+        R0 = rng.standard_normal((nm, 3)).astype(np.float32)
+        Qd = jax.device_put(jnp.asarray(Q0))
+        Rd = jax.device_put(jnp.asarray(R0))
+
+        def make_input(rep, Qd=Qd, Rd=Rd):
+            eps = jnp.float32(1e-7 * (rep + 1))
+            return (jax.block_until_ready(Qd + eps), Rd)
+
+        t = _median_time(
+            lambda q, r, rt=rt: sweep(q, r, ref_tile=rt, query_tile=2048)[0],
+            make_input, args.repeats,
+        )
+        pairs = float(C) * nm
+        rate = pairs / t
+        out["sweep"].append({
+            "C": C, "nm": nm, "seconds": round(t, 4),
+            "pairs_per_s": f"{rate:.3e}",
+        })
+        print(f"sweep C={C} nm={nm}: {t:.3f} s -> {rate:.3e} pairs/s",
+              flush=True)
+
+    # ---- k-NN (k=10) rate: the normals-prologue kernel — top-k
+    # maintenance per tile makes it slower than the 1-NN sweep by an
+    # unknown factor (the round-3 worker crash suggests substantially) ----
+    from simpleicp_tpu.ops.knn import knn_search
+
+    knn_shapes = [
+        (1000, 1_000_000, 16384),
+        (20_000, 4_000_000, 65536),
+        (100_000, 4_000_000, 65536),
+    ]
+    knn = jax.jit(knn_search, static_argnames=("k", "ref_tile", "query_tile"))
+    out["knn"] = []
+    for C, nf, rt in knn_shapes:
+        Q0 = rng.standard_normal((C, 3)).astype(np.float32)
+        R0 = rng.standard_normal((nf, 3)).astype(np.float32)
+        Qd = jax.device_put(jnp.asarray(Q0))
+        Rd = jax.device_put(jnp.asarray(R0))
+
+        def make_input(rep, Qd=Qd, Rd=Rd):
+            eps = jnp.float32(1e-7 * (rep + 1))
+            return (jax.block_until_ready(Qd + eps), Rd)
+
+        t = _median_time(
+            lambda q, r, rt=rt: knn(q, r, 10, ref_tile=rt, query_tile=2048)[0],
+            make_input, args.repeats,
+        )
+        rate = float(C) * nf / t
+        out["knn"].append({
+            "C": C, "nf": nf, "seconds": round(t, 4),
+            "pairs_per_s": f"{rate:.3e}",
+        })
+        print(f"knn10 C={C} nf={nf}: {t:.3f} s -> {rate:.3e} pairs/s",
+              flush=True)
+
+    # ---- random-gather rate: the grid matcher's candidate fetch shape ----
+    gather_shapes = [
+        (1_000_000, 10_000_000),
+        (10_000_000, 10_000_000),
+        (50_000_000, 12_500_000),
+    ]
+    gat = jax.jit(lambda tbl, idx: tbl[idx].sum())
+    for n_elems, n_tbl in gather_shapes:
+        tbl = jax.device_put(
+            jnp.asarray(rng.standard_normal(n_tbl).astype(np.float32))
+        )
+        idx0 = rng.integers(0, n_tbl, n_elems).astype(np.int32)
+        idxd = jax.device_put(jnp.asarray(idx0))
+
+        def make_input(rep, tbl=tbl, idxd=idxd, n_tbl=n_tbl):
+            return (tbl, jax.block_until_ready((idxd + rep) % n_tbl))
+
+        t = _median_time(gat, make_input, args.repeats)
+        rate = n_elems / t
+        out["gather"].append({
+            "n_elems": n_elems, "seconds": round(t, 4),
+            "elems_per_s": f"{rate:.3e}",
+        })
+        print(f"gather {n_elems:.0e} elems: {t:.3f} s -> {rate:.3e} "
+              "elems/s", flush=True)
+
+    # ---- grid-matcher query rate IN SITU: one grid_query_sorted pass at
+    # the crashed config's exact shape (12.5M cloud, radius 0.05, C=1e5).
+    # One pass only (not 10 iterations), so even a 10x-slower-than-modeled
+    # rate stays under the watchdog. ----
+    import math as _math
+
+    from simpleicp_tpu.ops.gridhash import (
+        build_sorted_grid,
+        grid_cell_cap,
+        grid_query_sorted,
+    )
+    from simpleicp_tpu.utils.xyz_io import read_xyz
+
+    X1 = read_xyz("/root/reference/data/dragon1.xyz").astype(np.float32)
+    ext = float(X1[:, 0].max() - X1[:, 0].min())
+    n_target, radius = 12_500_000, 0.05
+    times_n = -(-n_target // X1.shape[0])
+    kk = _math.ceil(times_n ** (1.0 / 3.0))
+    ii = np.arange(kk * kk * kk, dtype=np.float32)[:times_n]
+    off = np.stack([ii % kk, (ii // kk) % kk, ii // (kk * kk)], 1) * (ext * 1.05)
+    Xt = (X1[None] + off[:, None]).reshape(-1, 3)[:n_target]
+    cap = grid_cell_cap(Xt.astype(np.float64), radius)
+    Xd = jax.device_put(jnp.asarray(Xt))
+    t0 = time.perf_counter()
+    g_pts, g_slots, g_order, g_origin, g_run_end = jax.block_until_ready(
+        build_sorted_grid(Xd, jnp.float32(radius))
+    )
+    t_build = time.perf_counter() - t0
+    Qg = jax.device_put(jnp.asarray(Xt[:: n_target // 100_000][:100_000]))
+    gq = jax.jit(
+        lambda q: grid_query_sorted(q, g_pts, g_slots, g_origin,
+                                    jnp.float32(radius), cell_cap=cap,
+                                    run_end=g_run_end)[0]
+    )
+    t_q = _median_time(
+        lambda q: gq(q),
+        lambda rep: (jax.block_until_ready(Qg + jnp.float32(1e-7 * (rep + 1))),),
+        args.repeats,
+    )
+    gelems = 100_000 * 27.0 * cap * 3.0
+    out["grid_query"] = {
+        "cap": int(cap), "build_seconds": round(t_build, 3),
+        "query_seconds": round(t_q, 4),
+        "effective_gather_elems_per_s": f"{gelems / t_q:.3e}",
+        "build_elems_per_s": f"{n_target / t_build:.3e}",
+    }
+    print(f"grid build 12.5M: {t_build:.2f} s; query C=1e5 cap={cap}: "
+          f"{t_q:.3f} s -> effective {gelems / t_q:.3e} gathered elems/s",
+          flush=True)
+
+    sweep_rates = [float(r["pairs_per_s"]) for r in out["sweep"]]
+    gath_rates = [float(r["elems_per_s"]) for r in out["gather"]]
+    out["summary"] = {
+        "sweep_min_max": [f"{min(sweep_rates):.3e}", f"{max(sweep_rates):.3e}"],
+        "gather_min_max": [f"{min(gath_rates):.3e}", f"{max(gath_rates):.3e}"],
+        "shipped_sweep": f"{dp.TPU_SWEEP_PAIRS_PER_SEC:.3e}",
+        "shipped_gather": f"{dp.TPU_GATHER_ELEMS_PER_SEC:.3e}",
+        "sweep_vs_shipped": [
+            round(r / dp.TPU_SWEEP_PAIRS_PER_SEC, 2) for r in sweep_rates
+        ],
+        "gather_vs_shipped": [
+            round(r / dp.TPU_GATHER_ELEMS_PER_SEC, 2) for r in gath_rates
+        ],
+    }
+    print(json.dumps(out["summary"]))
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(out, fh, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

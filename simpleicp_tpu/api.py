@@ -293,7 +293,10 @@ class SimpleICP:
         return values follow /root/reference/python/simpleicp/simpleicp.py:75-133;
         `solver`, `mad_scale`, `rejection_staging`, `std_ddof` and `center`
         are TPU-build extensions (the first four select between the
-        reference-family behaviors — SURVEY.md Q1/Q5/Q8).
+        reference-family behaviors — SURVEY.md Q1/Q5/Q8); `dispatch` /
+        `chunk_iterations` select the device program shape (monolithic vs
+        host-chunked K-iteration programs — identical math, bounded device
+        time per program; see IcpConfig.dispatch).
 
         center: shift both clouds by the fixed cloud's centroid before the
             device pipeline and map the result back (exact, host-side f64).

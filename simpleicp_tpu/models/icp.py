@@ -443,14 +443,11 @@ def run_icp_loop(Q, normals, planarity, sel_valid, obs_vals, obs_w,
     return final, uncertainties, covariance
 
 
-def _prologue_stages(Xf, Xm, obs_vals, normals_fix, planarity_fix,
-                     ext_sel_mask, *, cfg: IcpConfig, has_normals: bool,
-                     has_ext_sel: bool):
-    """Stages 1-4 of the pipeline (initial H, overlap gate, fixed-count
-    selection, normals) — traced inline by the monolithic `_icp_run` and as
-    its own program by the host-chunked dispatcher.
+def _gate_select_stages(Xf, Xm, obs_vals, ext_sel_mask, *, cfg: IcpConfig,
+                        has_ext_sel: bool):
+    """Stages 1-3 (initial H, overlap gate, fixed-count selection).
 
-    Returns (Q, normals, planarity, sel_idx, sel_valid, error, H0).
+    Returns (Q, sel_idx, sel_valid, error, H0).
     """
     dtype = Xf.dtype
     C = cfg.correspondences
@@ -498,18 +495,40 @@ def _prologue_stages(Xf, Xm, obs_vals, normals_fix, planarity_fix,
             sel_valid = jnp.asarray(np.arange(C) < nf)
         sel_idx = jnp.asarray(host_idx)
     Q = Xf[sel_idx]  # (C,3) fixed-side correspondence queries
+    return Q, sel_idx, sel_valid, error, H0
 
-    # ---- Stage 4: normals on the selected points ----
+
+def _normals_stage(Q, Xf, sel_idx, normals_fix, planarity_fix,
+                   *, cfg: IcpConfig, has_normals: bool):
+    """Stage 4: normals at the selected points (user-supplied gather or
+    k-NN + batched eigendecomposition). Returns (normals, planarity)."""
+    qt, rt = cfg.query_tile, (cfg.ref_tile or 4096)
     if has_normals:
-        normals = normals_fix[sel_idx]
-        planarity = planarity_fix[sel_idx]
-    else:
-        _, idxk = knn_search(
-            Q, Xf, cfg.neighbors, ref_tile=rt, query_tile=qt,
-            approx=cfg.approx_knn,
-        )
-        neigh = Xf[idxk]  # (C, k, 3)
-        normals, planarity, _ = estimate_normals_from_neighborhoods(neigh)
+        return normals_fix[sel_idx], planarity_fix[sel_idx]
+    _, idxk = knn_search(
+        Q, Xf, cfg.neighbors, ref_tile=rt, query_tile=qt,
+        approx=cfg.approx_knn,
+    )
+    neigh = Xf[idxk]  # (C, k, 3)
+    normals, planarity, _ = estimate_normals_from_neighborhoods(neigh)
+    return normals, planarity
+
+
+def _prologue_stages(Xf, Xm, obs_vals, normals_fix, planarity_fix,
+                     ext_sel_mask, *, cfg: IcpConfig, has_normals: bool,
+                     has_ext_sel: bool):
+    """Stages 1-4 of the pipeline — traced inline by the monolithic
+    `_icp_run` and as its own program by the host-chunked dispatcher.
+
+    Returns (Q, normals, planarity, sel_idx, sel_valid, error, H0).
+    """
+    Q, sel_idx, sel_valid, error, H0 = _gate_select_stages(
+        Xf, Xm, obs_vals, ext_sel_mask, cfg=cfg, has_ext_sel=has_ext_sel,
+    )
+    normals, planarity = _normals_stage(
+        Q, Xf, sel_idx, normals_fix, planarity_fix,
+        cfg=cfg, has_normals=has_normals,
+    )
     return Q, normals, planarity, sel_idx, sel_valid, error, H0
 
 
@@ -657,6 +676,35 @@ def _icp_prologue_jit(Xf, Xm, obs_vals, normals_fix, planarity_fix,
 
 
 @functools.partial(
+    jax.jit, static_argnames=("cfg", "has_ext_sel", "build_grid"),
+)
+def _icp_gate_select_jit(Xf, Xm, obs_vals, ext_sel_mask,
+                         *, cfg: IcpConfig, has_ext_sel: bool,
+                         build_grid: bool):
+    """Split-prologue program 1a: stages 1-3 only (+ optional grid build) —
+    used when the normals kNN alone would exceed the program budget and
+    must run as separate query-block programs (1b)."""
+    out = _gate_select_stages(
+        Xf, Xm, obs_vals, ext_sel_mask, cfg=cfg, has_ext_sel=has_ext_sel,
+    )
+    grid = _build_match_grid(Xm, cfg, Xf.dtype) if build_grid else ()
+    return out + (grid,)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _icp_knn_block_jit(Q_block, Xf, *, cfg: IcpConfig):
+    """Split-prologue program 1b: normals for ONE query block. Bounded by
+    block_rows * nf kNN pairs; results are bit-identical to the monolithic
+    stage-4 kNN because per-query top-k is independent of the query batch
+    (the kernel tiles queries internally anyway)."""
+    dummy = jnp.zeros((1, 3), Xf.dtype)
+    return _normals_stage(
+        Q_block, Xf, jnp.zeros((1,), jnp.int32), dummy, dummy[:, 0],
+        cfg=cfg, has_normals=False,
+    )
+
+
+@functools.partial(
     jax.jit,
     static_argnames=("cfg", "has_mov_planarity", "use_grid"),
 )
@@ -690,7 +738,7 @@ def _icp_run_chunked(Xf, Xm, obs_vals, obs_w, normals_fix, planarity_fix,
                      planarity_mov, ext_sel_mask,
                      *, cfg: IcpConfig, has_normals: bool,
                      has_mov_planarity: bool, has_ext_sel: bool,
-                     chunk_iters: int) -> IcpResult:
+                     chunk_iters: int, knn_block: int = 0) -> IcpResult:
     """Host-chunked registration: the same pipeline as `_icp_run`, executed
     as a prologue program plus K-iteration loop programs re-dispatched from
     the host with the carry staying on device.
@@ -702,19 +750,44 @@ def _icp_run_chunked(Xf, Xm, obs_vals, obs_w, normals_fix, planarity_fix,
     while_loop — the loop body is shared and the chunk boundary only moves
     WHERE the loop condition is evaluated (tests/test_chunked.py pins
     field-for-field equality). Per-chunk cost beyond the compute is one
-    carry re-dispatch (device-resident, donated) and a 3-scalar readback.
+    carry re-dispatch (device-resident) and a 3-scalar readback.
+
+    knn_block > 0 additionally splits the PROLOGUE: the normals kNN — at
+    k=10 a ~14x slower kernel than the 1-NN sweep (round-3 calibration),
+    so at C=1e5 x 12.5M it alone is ~80 s of device time — runs as
+    ceil(C/knn_block) separate query-block programs of bounded size
+    (bit-identical: per-query top-k is batch-independent).
     """
     dtype = Xf.dtype
     use_grid = cfg.match_method == "grid"
     T = cfg.max_iterations
     K = max(1, int(chunk_iters))
 
-    (Q, normals, planarity, sel_idx, sel_valid, error, H0, grid
-     ) = _icp_prologue_jit(
-        Xf, Xm, obs_vals, normals_fix, planarity_fix, ext_sel_mask,
-        cfg=cfg, has_normals=has_normals, has_ext_sel=has_ext_sel,
-        build_grid=use_grid,
-    )
+    if knn_block > 0 and not has_normals:
+        Q, sel_idx, sel_valid, error, H0, grid = _icp_gate_select_jit(
+            Xf, Xm, obs_vals, ext_sel_mask,
+            cfg=cfg, has_ext_sel=has_ext_sel, build_grid=use_grid,
+        )
+        C = cfg.correspondences
+        nb = -(-C // knn_block)
+        Q_pad = jnp.concatenate(
+            [Q, jnp.zeros((nb * knn_block - C, 3), dtype)]
+        ) if nb * knn_block != C else Q
+        parts = [
+            _icp_knn_block_jit(
+                Q_pad[b * knn_block:(b + 1) * knn_block], Xf, cfg=cfg,
+            )
+            for b in range(nb)
+        ]
+        normals = jnp.concatenate([p[0] for p in parts])[:C]
+        planarity = jnp.concatenate([p[1] for p in parts])[:C]
+    else:
+        (Q, normals, planarity, sel_idx, sel_valid, error, H0, grid
+         ) = _icp_prologue_jit(
+            Xf, Xm, obs_vals, normals_fix, planarity_fix, ext_sel_mask,
+            cfg=cfg, has_normals=has_normals, has_ext_sel=has_ext_sel,
+            build_grid=use_grid,
+        )
     carry = make_carry_init(cfg, dtype, obs_vals.astype(dtype), H0, error)
 
     while True:
@@ -976,6 +1049,7 @@ def icp_register(
 
     dispatch = cfg.dispatch
     chunk_k = cfg.chunk_iterations
+    knn_block = 0
     budget = cfg.program_budget_s
     guarded = budget > 0 and jax.default_backend() != "cpu"
     if guarded:
@@ -986,27 +1060,34 @@ def icp_register(
             and cfg.gate_method == "brute"
             else 0.0
         )
-        prologue_s, per_iter_s = estimate_tpu_stage_seconds(
+        gate_s, knn_s, build_s, per_iter_s = estimate_tpu_stage_seconds(
             nf_, nm_,
             correspondences=cfg.correspondences,
+            neighbors=cfg.neighbors,
             gate_pairs=gate_pairs,
             match_method=cfg.match_method,
             match_cell_cap=cfg.match_cell_cap,
+            has_normals=has_normals,
         )
         # the monolithic program runs up to max_iterations; guard on the
         # typical converged count like round 2 (healthy runs finish in ~10)
-        est = prologue_s + min(10, cfg.max_iterations) * per_iter_s
-        if max(prologue_s, per_iter_s) > budget * 0.9:
+        est = gate_s + knn_s + build_s + min(10, cfg.max_iterations) * per_iter_s
+        # atoms that no dispatch shape can split: the in-program gate, the
+        # grid build, one loop iteration, one MINIMAL kNN query block
+        knn_atom_s = min(knn_s, knn_s * 2048.0 / max(cfg.correspondences, 1))
+        atom_s = max(gate_s, build_s, per_iter_s, knn_atom_s)
+        if atom_s > budget * 0.9:
             raise ValueError(
-                f"this configuration is estimated at ~{prologue_s:.0f} s "
-                f"prologue + ~{per_iter_s:.0f} s per iteration of device "
-                f"time — even one chunked program would exceed the "
-                f"program_budget_s={budget:g} watchdog guard (over-long "
-                "programs crash TPU workers). Reduce `correspondences`, "
-                "set a small `match_radius` (grid-matcher cells shrink "
-                "with it), run sharded across chips, use --device cpu, or "
-                "raise/disable program_budget_s if your runtime allows "
-                "long programs."
+                f"this configuration is estimated at ~{atom_s:.0f} s of "
+                f"device time for its largest indivisible program (gate "
+                f"~{gate_s:.0f} s, grid build ~{build_s:.0f} s, "
+                f"~{per_iter_s:.0f} s per iteration) — even chunked "
+                f"dispatch would exceed the program_budget_s={budget:g} "
+                "watchdog guard (over-long programs crash TPU workers). "
+                "Reduce `correspondences`, set a small `match_radius` "
+                "(grid-matcher cells shrink with it), run sharded across "
+                "chips, use --device cpu, or raise/disable "
+                "program_budget_s if your runtime allows long programs."
             )
         if dispatch == "monolithic" and est > budget:
             raise ValueError(
@@ -1020,9 +1101,25 @@ def icp_register(
             )
         if dispatch == "auto":
             dispatch = "monolithic" if est <= budget else "chunked"
-        if dispatch == "chunked" and chunk_k == 0:
-            # half the budget per chunk: 2x headroom on the measured rates
-            chunk_k = max(1, int((budget * 0.5) / max(per_iter_s, 1e-9)))
+        if dispatch == "chunked":
+            if chunk_k == 0:
+                # half the budget per chunk: 2x headroom on measured rates
+                chunk_k = max(1, int((budget * 0.5) / max(per_iter_s, 1e-9)))
+            if knn_s > budget * 0.5:
+                # split the normals kNN into query blocks of ~half budget
+                # (multiples of the kernel's query tile keep results
+                # bit-identical trivially; they are anyway)
+                rows_per_budget = (budget * 0.5) / knn_s * cfg.correspondences
+                knn_block = max(2048, int(rows_per_budget) // 2048 * 2048)
+        import logging
+
+        logging.getLogger(__name__).info(
+            "dispatch plan: %s (est %.1f s = gate %.1f + knn %.1f + build "
+            "%.1f + %.2f s/iter%s%s; budget %g s)",
+            dispatch, est, gate_s, knn_s, build_s, per_iter_s,
+            f", K={chunk_k}" if dispatch == "chunked" else "",
+            f", knn_block={knn_block}" if knn_block else "", budget,
+        )
     else:
         if dispatch == "auto":
             dispatch = "monolithic"
@@ -1039,6 +1136,7 @@ def icp_register(
             cfg=run_cfg, has_normals=has_normals,
             has_mov_planarity=has_mov_planarity,
             has_ext_sel=has_ext_sel, chunk_iters=chunk_k,
+            knn_block=knn_block,
         )
     return _icp_run(
         Xf, Xm, obs_vals, obs_w, normals_arr, planarity_arr,

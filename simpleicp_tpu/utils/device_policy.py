@@ -56,15 +56,24 @@ def estimate_cpu_seconds(
             + (knn + loop) / CPU_LOOP_PAIRS_PER_SEC)
 
 
-# Measured TPU v5e rates (BENCHMARKS.md kernel notes): dense brute
-# distance sweeps sustain ~2.4e11 pairs/s on the VPU; random candidate
-# gathers cost ~8-10 ns per gathered element (~1.2e8 elements/s).
-TPU_SWEEP_PAIRS_PER_SEC = 2.4e11
-TPU_GATHER_ELEMS_PER_SEC = 1.2e8
+# Measured TPU v5e rates (round-3 calibration, scripts/calibrate_guard.py,
+# calibration_tpu.json; previously BENCHMARKS.md kernel notes):
+#   * dense 1-NN distance sweeps sustain ~2.24e11 pairs/s at scale on the
+#     VPU (2.4e11 shipped round 2 — confirmed within 7%);
+#   * k=10 kNN (the normals prologue) runs at only ~1.6e10 pairs/s — the
+#     per-tile top-k maintenance costs ~14x over the plain min sweep.
+#     Round 2 priced the prologue at the SWEEP rate, which under-estimated
+#     a C=1e5 x 12.5M prologue 14x (~5 s est vs ~73 s real) and dispatched
+#     a worker-killing program (2026-08-19 crash, round 3);
+#   * random candidate gathers ~1.0-1.25e8 elements/s at scale (in-situ
+#     grid_query_sorted confirms 1.03e8 effective).
+TPU_SWEEP_PAIRS_PER_SEC = 2.2e11
+TPU_KNN10_PAIRS_PER_SEC = 1.5e10  # measured 1.64-1.70e10 at scale; margin
+TPU_GATHER_ELEMS_PER_SEC = 1.0e8
 # Rough device sort throughput (the grid matcher's one-time cell-list
-# build is a key+argsort over the movable cloud). Conservative; the build
-# is a prologue one-off, never per-iteration.
-TPU_SORT_ELEMS_PER_SEC = 2.0e7
+# build is a key+argsort over the movable cloud, in-program). Conservative;
+# the build is a prologue one-off, never per-iteration.
+TPU_SORT_ELEMS_PER_SEC = 5.0e6
 
 
 def estimate_tpu_stage_seconds(
@@ -72,27 +81,36 @@ def estimate_tpu_stage_seconds(
     nm: int,
     *,
     correspondences: int = 1000,
+    neighbors: int = 10,
     gate_pairs: float = 0.0,
     match_method: str = "brute",
     match_cell_cap: int = 0,
+    has_normals: bool = False,
 ) -> tuple:
-    """(prologue_seconds, per_iteration_seconds) of a registration on TPU.
+    """(gate_seconds, knn_seconds, build_seconds, per_iteration_seconds)
+    of a registration on TPU.
 
-    The prologue is the gate (when computed in-program) + the normals kNN
-    (+ the grid matcher's one-time cell-list build); one iteration is the
-    NN match. Used both for the monolithic watchdog guard and to size the
-    per-program iteration count K of the chunked dispatcher.
+    The prologue decomposes into the gate (when computed in-program), the
+    normals kNN (absent when user normals are supplied), and the grid
+    matcher's one-time cell-list build; one iteration is the NN match.
+    Used by the watchdog guard / dispatch planner: the kNN piece is
+    independently chunkable (query blocks), the gate and build are atomic
+    programs, and K iterations go per chunk program.
     """
     c = min(correspondences, nf)
-    prologue = (gate_pairs + float(c) * nf) / TPU_SWEEP_PAIRS_PER_SEC
+    gate_s = gate_pairs / TPU_SWEEP_PAIRS_PER_SEC
+    # top-k cost grows roughly with k (merge depth); 1.5e10 is the k=10 rate
+    knn_rate = TPU_KNN10_PAIRS_PER_SEC * (10.0 / max(neighbors, 1))
+    knn_s = 0.0 if has_normals else float(c) * nf / knn_rate
+    build_s = (float(nm) / TPU_SORT_ELEMS_PER_SEC
+               if match_method == "grid" else 0.0)
     if match_method == "grid":
-        prologue += float(nm) / TPU_SORT_ELEMS_PER_SEC
         # 27 neighbor cells x cap candidate slots x 3 gathered coords
         per_iter = (float(c) * 27.0 * max(match_cell_cap, 1) * 3.0
                     / TPU_GATHER_ELEMS_PER_SEC)
     else:
         per_iter = float(c) * nm / TPU_SWEEP_PAIRS_PER_SEC
-    return prologue, per_iter
+    return gate_s, knn_s, build_s, per_iter
 
 
 def estimate_tpu_program_seconds(
@@ -115,11 +133,11 @@ def estimate_tpu_program_seconds(
     configs to chunked dispatch host-side instead of crashing a shared
     worker.
     """
-    prologue, per_iter = estimate_tpu_stage_seconds(
+    gate_s, knn_s, build_s, per_iter = estimate_tpu_stage_seconds(
         nf, nm, correspondences=correspondences, gate_pairs=gate_pairs,
         match_method=match_method, match_cell_cap=match_cell_cap,
     )
-    return prologue + iterations * per_iter
+    return gate_s + knn_s + build_s + iterations * per_iter
 
 
 def resolve_device(

@@ -82,6 +82,32 @@ def test_chunked_with_observations_and_trajectory(multisensor):
     _assert_results_bitequal(mono, chunk)
 
 
+def test_split_prologue_knn_blocks_bitequal(dragon):
+    """knn_block > 0 splits the normals kNN into query-block programs (the
+    round-3 fix for the ~14x-slower-than-modeled k-NN kernel that crashed
+    the worker at C=1e5 x 12.5M). Per-query top-k is batch-independent, so
+    the result must be bit-equal to the monolithic prologue — including a
+    block size that does NOT divide C (padding path)."""
+    import jax.numpy as jnp
+
+    from simpleicp_tpu.models.icp import _icp_run_chunked, icp_register
+
+    X_fix, X_mov = dragon
+    cfg = IcpConfig(correspondences=1000)
+    mono = icp_register(X_fix, X_mov, cfg)
+    dt = jnp.float64
+    for blk in (256, 384):  # 384 does not divide 1000: padding path
+        chunk = _icp_run_chunked(
+            jnp.asarray(X_fix, dt), jnp.asarray(X_mov, dt),
+            jnp.zeros(6, dt), jnp.zeros(6, dt),
+            jnp.zeros((1, 3), dt), jnp.zeros((1,), dt), jnp.zeros((1,), dt),
+            jnp.zeros((1,), bool),
+            cfg=cfg, has_normals=False, has_mov_planarity=False,
+            has_ext_sel=False, chunk_iters=3, knn_block=blk,
+        )
+        _assert_results_bitequal(mono, chunk)
+
+
 def test_chunked_no_overlap_error(rng):
     """Error surfaced from the prologue stops the chunk loop immediately."""
     X_fix = _surface(rng, 500)
@@ -93,8 +119,11 @@ def test_chunked_no_overlap_error(rng):
 
 
 def test_stage_estimator_consistency():
-    """The monolithic estimate is exactly prologue + N * per-iteration, and
-    the chunk planner's K derivation keeps a chunk under the budget."""
+    """The monolithic estimate is exactly the stage sum, and the round-2
+    verdict's target config (C=1e5 x 12.5M exact) is chunkable under the
+    default budget: per-iteration and the minimal kNN query block fit,
+    while the FULL kNN does not (the ~14x-slower k=10 kernel measured in
+    round 3 — calibration_tpu.json) and therefore must be query-blocked."""
     from simpleicp_tpu.utils.device_policy import (
         estimate_tpu_program_seconds,
         estimate_tpu_stage_seconds,
@@ -102,15 +131,17 @@ def test_stage_estimator_consistency():
 
     nf = nm = 12_500_000
     c = 100_000
-    pro, per = estimate_tpu_stage_seconds(nf, nm, correspondences=c)
+    gate_s, knn_s, build_s, per = estimate_tpu_stage_seconds(
+        nf, nm, correspondences=c
+    )
     est = estimate_tpu_program_seconds(nf, nm, correspondences=c,
                                        iterations=10)
-    np.testing.assert_allclose(est, pro + 10 * per, rtol=1e-12)
-    # the verdict's target config: C=1e5 x 12.5M exact — one iteration is
-    # ~5 s, so it must be chunkable under the default 30 s budget
+    np.testing.assert_allclose(
+        est, gate_s + knn_s + build_s + 10 * per, rtol=1e-12
+    )
     budget = IcpConfig().program_budget_s
-    assert per < budget * 0.9
-    assert pro < budget * 0.9
+    assert per < budget * 0.9          # one match iteration fits
+    assert knn_s > budget * 0.5        # full kNN prologue does NOT
+    assert knn_s * 2048.0 / c < budget * 0.9  # a minimal query block does
     k = max(1, int((budget * 0.5) / per))
-    assert k >= 1 and pro + 0 * per <= budget
-    assert k * per <= budget * 0.5 + per
+    assert k >= 1 and k * per <= budget * 0.5 + per
