@@ -704,6 +704,50 @@ def _icp_knn_block_jit(Q_block, Xf, *, cfg: IcpConfig):
     )
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _knn_sample_radius_jit(Q_s, Xf, *, cfg: IcpConfig):
+    """Split-prologue program 1c: the k-th-NN squared distance of a SAMPLE
+    of queries — sizes the grid-kNN cell radius host-side."""
+    d2k, _ = knn_search(
+        Q_s, Xf, cfg.neighbors, ref_tile=(cfg.ref_tile or 4096),
+        query_tile=cfg.query_tile, approx=cfg.approx_knn,
+    )
+    return d2k[:, -1]
+
+
+@jax.jit
+def _grid_build_cap_jit(Xf, radius):
+    """Split-prologue program 1d: the normals grid (sorted cell list over
+    the FIXED cloud) plus its exact max slot occupancy (device-binned, so
+    no host/device boundary slack is needed — unlike grid_cell_cap)."""
+    from ..ops.gridhash import build_sorted_grid
+
+    s = build_sorted_grid(Xf, radius)
+    run_end = s[4]
+    n = run_end.shape[0]
+    cap = jnp.max(run_end - jnp.arange(n, dtype=jnp.int32))
+    return s, cap
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "cell_cap"))
+def _icp_knn_grid_jit(Q, Xf, sorted_pts, sorted_slots, order, origin,
+                      run_end, radius, *, cfg: IcpConfig, cell_cap: int):
+    """Split-prologue program 1e: normals for ALL queries from the grid
+    kNN (27-cell candidates, dense-kernel tie-break parity), plus the
+    per-query exactness certificate. Certified rows are bit-identical to
+    the dense kNN normals; uncertified rows get recomputed densely by the
+    driver (_icp_run_chunked) and patched."""
+    from ..ops.gridhash import knn_query_sorted
+
+    _, ik, cert = knn_query_sorted(
+        Q, sorted_pts, sorted_slots, order, origin, radius, cfg.neighbors,
+        cell_cap=cell_cap, run_end=run_end,
+    )
+    neigh = Xf[ik]  # (C, k, 3)
+    normals, planarity, _ = estimate_normals_from_neighborhoods(neigh)
+    return normals, planarity, cert
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "has_mov_planarity", "use_grid"),
@@ -734,11 +778,94 @@ def _icp_chunk_jit(carry: _Carry, it_hi, Q, normals, planarity, sel_valid,
     )
 
 
+def _knn_grid_normals(Q, Xf, cfg: IcpConfig, knn_block: int):
+    """Grid-accelerated normals for a big-C chunked prologue, host-driven:
+
+      1. SAMPLE the k-th-NN distance on 1024 strided queries (one bounded
+         dense program) and size the cell radius r = 1.25 * max sampled;
+      2. build the sorted cell list over the fixed cloud ON DEVICE and read
+         back its exact max slot occupancy (the static cell_cap);
+      3. one grid-kNN program: 27-cell candidates, dense tie-break parity,
+         per-query exactness certificates (ops/gridhash.knn_query_sorted);
+      4. recompute any UNCERTIFIED rows with the dense kernel in
+         failure-count-sized programs and patch — so the final normals are
+         bit-identical to the dense kNN for every row.
+
+    Returns (normals, planarity) or (None, None) when the grid plan is
+    uneconomical (degenerate radius, or a dense cluster making the
+    per-query candidate cost exceed the dense-block cost) — the caller
+    then falls back to dense query blocks. ~27*cap*3 gathered elements per
+    query instead of a k-maintaining sweep over all of Xf: ~2 s vs ~80 s
+    at C=1e5 x 12.5M (round-3 calibration)."""
+    C = cfg.correspondences
+    if C < 4096:
+        return None, None
+    dtype = Q.dtype
+    stride = max(1, C // 1024)
+    Qs = Q[::stride][:1024]
+    if Qs.shape[0] < 1024:
+        Qs = jnp.concatenate([Qs, jnp.zeros((1024 - Qs.shape[0], 3), dtype)])
+    d2_last = np.asarray(_knn_sample_radius_jit(Qs, Xf, cfg=cfg))
+    d2_max = float(np.max(d2_last[np.isfinite(d2_last)], initial=0.0))
+    if d2_max <= 0.0:
+        return None, None
+    r = 1.25 * float(np.sqrt(d2_max))
+
+    (sorted_pts, sorted_slots, order, origin, run_end), cap_dev = (
+        _grid_build_cap_jit(Xf, jnp.asarray(r, dtype))
+    )
+    # round up to a multiple of 8: over-cap only adds masked slots, and a
+    # stable cap keeps the query program's compile cache warm across runs
+    cap = -(-int(cap_dev) // 8) * 8
+    # economics: candidate gathers per query vs the dense-block sweep
+    from ..utils.device_policy import (
+        TPU_GATHER_ELEMS_PER_SEC,
+        TPU_KNN10_PAIRS_PER_SEC,
+    )
+
+    grid_cost = C * 27.0 * cap * 3.0 / TPU_GATHER_ELEMS_PER_SEC
+    dense_cost = (float(C) * Xf.shape[0]
+                  / (TPU_KNN10_PAIRS_PER_SEC * 10.0 / cfg.neighbors))
+    if grid_cost > min(
+        dense_cost, max(cfg.program_budget_s, 30.0) * 0.9
+    ):
+        return None, None
+
+    normals, planarity, cert = _icp_knn_grid_jit(
+        Q, Xf, sorted_pts, sorted_slots, order, origin, run_end,
+        jnp.asarray(r, dtype), cfg=cfg, cell_cap=cap,
+    )
+    failed = np.nonzero(~np.asarray(cert))[0]
+    if failed.size:
+        import logging
+
+        logging.getLogger(__name__).info(
+            "grid-kNN prologue: %d/%d uncertified rows -> dense recompute",
+            failed.size, C,
+        )
+        nrm_h = np.asarray(normals)
+        pla_h = np.asarray(planarity)
+        Q_h = np.asarray(Q)
+        blk_cap = knn_block if knn_block > 0 else C
+        for s in range(0, failed.size, blk_cap):
+            rows = failed[s:s + blk_cap]
+            blk = max(512, 1 << (int(rows.size) - 1).bit_length())
+            Qb = np.zeros((blk, 3), Q_h.dtype)
+            Qb[: rows.size] = Q_h[rows]
+            nb, pb = _icp_knn_block_jit(jnp.asarray(Qb), Xf, cfg=cfg)
+            nrm_h[rows] = np.asarray(nb)[: rows.size]
+            pla_h[rows] = np.asarray(pb)[: rows.size]
+        normals = jnp.asarray(nrm_h)
+        planarity = jnp.asarray(pla_h)
+    return normals, planarity
+
+
 def _icp_run_chunked(Xf, Xm, obs_vals, obs_w, normals_fix, planarity_fix,
                      planarity_mov, ext_sel_mask,
                      *, cfg: IcpConfig, has_normals: bool,
                      has_mov_planarity: bool, has_ext_sel: bool,
-                     chunk_iters: int, knn_block: int = 0) -> IcpResult:
+                     chunk_iters: int, knn_block: int = 0,
+                     knn_grid: bool = False) -> IcpResult:
     """Host-chunked registration: the same pipeline as `_icp_run`, executed
     as a prologue program plus K-iteration loop programs re-dispatched from
     the host with the carry staying on device.
@@ -763,24 +890,28 @@ def _icp_run_chunked(Xf, Xm, obs_vals, obs_w, normals_fix, planarity_fix,
     T = cfg.max_iterations
     K = max(1, int(chunk_iters))
 
-    if knn_block > 0 and not has_normals:
+    if (knn_block > 0 or knn_grid) and not has_normals:
         Q, sel_idx, sel_valid, error, H0, grid = _icp_gate_select_jit(
             Xf, Xm, obs_vals, ext_sel_mask,
             cfg=cfg, has_ext_sel=has_ext_sel, build_grid=use_grid,
         )
         C = cfg.correspondences
-        nb = -(-C // knn_block)
-        Q_pad = jnp.concatenate(
-            [Q, jnp.zeros((nb * knn_block - C, 3), dtype)]
-        ) if nb * knn_block != C else Q
-        parts = [
-            _icp_knn_block_jit(
-                Q_pad[b * knn_block:(b + 1) * knn_block], Xf, cfg=cfg,
-            )
-            for b in range(nb)
-        ]
-        normals = jnp.concatenate([p[0] for p in parts])[:C]
-        planarity = jnp.concatenate([p[1] for p in parts])[:C]
+        normals = planarity = None
+        if knn_grid:
+            normals, planarity = _knn_grid_normals(Q, Xf, cfg, knn_block)
+        if normals is None:
+            # dense kNN in bounded query-block programs
+            blk = knn_block if knn_block > 0 else C
+            nb = -(-C // blk)
+            Q_pad = jnp.concatenate(
+                [Q, jnp.zeros((nb * blk - C, 3), dtype)]
+            ) if nb * blk != C else Q
+            parts = [
+                _icp_knn_block_jit(Q_pad[b * blk:(b + 1) * blk], Xf, cfg=cfg)
+                for b in range(nb)
+            ]
+            normals = jnp.concatenate([p[0] for p in parts])[:C]
+            planarity = jnp.concatenate([p[1] for p in parts])[:C]
     else:
         (Q, normals, planarity, sel_idx, sel_valid, error, H0, grid
          ) = _icp_prologue_jit(
@@ -1050,6 +1181,7 @@ def icp_register(
     dispatch = cfg.dispatch
     chunk_k = cfg.chunk_iterations
     knn_block = 0
+    knn_grid = False
     budget = cfg.program_budget_s
     guarded = budget > 0 and jax.default_backend() != "cpu"
     if guarded:
@@ -1072,10 +1204,11 @@ def icp_register(
         # the monolithic program runs up to max_iterations; guard on the
         # typical converged count like round 2 (healthy runs finish in ~10)
         est = gate_s + knn_s + build_s + min(10, cfg.max_iterations) * per_iter_s
-        # atoms that no dispatch shape can split: the in-program gate, the
-        # grid build, one loop iteration, one MINIMAL kNN query block
+        # atoms that no dispatch shape can split: the gate+select(+build)
+        # program (they share one program even under the split prologue),
+        # one loop iteration, one MINIMAL kNN query block
         knn_atom_s = min(knn_s, knn_s * 2048.0 / max(cfg.correspondences, 1))
-        atom_s = max(gate_s, build_s, per_iter_s, knn_atom_s)
+        atom_s = max(gate_s + build_s, per_iter_s, knn_atom_s)
         if atom_s > budget * 0.9:
             raise ValueError(
                 f"this configuration is estimated at ~{atom_s:.0f} s of "
@@ -1105,12 +1238,23 @@ def icp_register(
             if chunk_k == 0:
                 # half the budget per chunk: 2x headroom on measured rates
                 chunk_k = max(1, int((budget * 0.5) / max(per_iter_s, 1e-9)))
-            if knn_s > budget * 0.5:
-                # split the normals kNN into query blocks of ~half budget
+            if gate_s + build_s + knn_s > budget * 0.9:
+                # the combined prologue program would be over budget: split
+                # out the normals kNN into query blocks of ~half budget
                 # (multiples of the kernel's query tile keep results
                 # bit-identical trivially; they are anyway)
-                rows_per_budget = (budget * 0.5) / knn_s * cfg.correspondences
+                rows_per_budget = (budget * 0.5) / max(knn_s, 1e-9) \
+                    * cfg.correspondences
                 knn_block = max(2048, int(rows_per_budget) // 2048 * 2048)
+                # never pad beyond C rounded to the next block quantum
+                knn_block = min(
+                    knn_block, -(-cfg.correspondences // 2048) * 2048
+                )
+                # when the dense kNN dominates, try the grid-kNN prologue
+                # first (certificates + dense patching keep it bit-exact;
+                # _knn_grid_normals falls back to the blocks if the grid
+                # plan is uneconomical)
+                knn_grid = knn_s > budget * 0.5
         import logging
 
         logging.getLogger(__name__).info(
@@ -1136,7 +1280,7 @@ def icp_register(
             cfg=run_cfg, has_normals=has_normals,
             has_mov_planarity=has_mov_planarity,
             has_ext_sel=has_ext_sel, chunk_iters=chunk_k,
-            knn_block=knn_block,
+            knn_block=knn_block, knn_grid=knn_grid,
         )
     return _icp_run(
         Xf, Xm, obs_vals, obs_w, normals_arr, planarity_arr,

@@ -221,6 +221,133 @@ def nn_within_radius_grid(queries: jnp.ndarray, refs: jnp.ndarray,
     return d2, order[pos].astype(jnp.int32)
 
 
+def knn_query_sorted(queries: jnp.ndarray, sorted_pts: jnp.ndarray,
+                     sorted_slots: jnp.ndarray, order: jnp.ndarray,
+                     origin: jnp.ndarray, radius, k: int, *,
+                     cell_cap: int, chunk: int = 2048,
+                     run_end: jnp.ndarray | None = None,
+                     cert_margin: float = 1e-3):
+    """k nearest neighbors among the 27-neighbor-cell candidates of a
+    pre-built sorted grid, with a per-query exactness CERTIFICATE.
+
+    The 27-cell neighborhood provably contains every point within `radius`
+    of the query (cell size == radius; a per-axis offset <= radius moves
+    the cell index by at most 1). So when the k-th candidate distance
+    satisfies d_k <= (1 - cert_margin) * radius, every point OUTSIDE the
+    neighborhood is farther than d_k and the candidate top-k IS the true
+    top-k — `certified` is True. The margin absorbs float cell-binning
+    boundary error (~eps * cells-from-origin cells, orders of magnitude
+    below 1e-3 * radius at any realistic extent); an uncertified query is
+    NOT wrong, just unproven — callers re-run those through the dense
+    kernel (ops/knn.py:knn_search), which is ~k*14x more VPU work per pair
+    (round-3 calibration) but exact unconditionally.
+
+    Tie handling matches the dense kernel bit-for-bit: candidates are
+    sorted by (d2, original index) — lax.sort two-key — and the dense
+    kernel's lax.top_k is stable over ascending-index candidates, so equal
+    distances resolve to the lower original index in both.
+
+    Returns (d2 (q,k), idx (q,k) original ref indices, certified (q,)).
+    """
+    n_q = queries.shape[0]
+    n_r = sorted_pts.shape[0]
+    dtype = queries.dtype
+    radius = jnp.asarray(radius, dtype)
+    inv_cell = 1.0 / radius
+    orig_idx = order.astype(jnp.int32)
+
+    q_pad = (-n_q) % chunk
+    queries_p = jnp.pad(queries, ((0, q_pad), (0, 0)))
+    q_chunks = queries_p.reshape(-1, chunk, 3)
+
+    offsets = [
+        jnp.asarray([dx, dy, dz], jnp.int32)
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)
+    ]
+    cert_d2 = ((1.0 - cert_margin) * radius) ** 2
+
+    def chunk_fn(Q):
+        qcell = _cell_of(Q, origin, inv_cell)
+        # all 27 probe slots up front: two distinct neighbor cells can HASH
+        # to the same slot, which would scan the same run twice and put
+        # duplicate candidates into the top-k (the dense kernel never
+        # duplicates) — mask any slot equal to an earlier one
+        slots27 = jnp.stack(
+            [_slot_of(qcell + off[None, :]) for off in offsets], axis=1
+        )  # (chunk, 27)
+        cand_d, cand_i = [], []
+        for j in range(len(offsets)):
+            slot = slots27[:, j]
+            dup = (
+                jnp.any(slots27[:, :j] == slot[:, None], axis=1)
+                if j > 0 else jnp.zeros(slot.shape, bool)
+            )
+            start = jnp.searchsorted(sorted_slots, slot, side="left")
+            if run_end is not None:
+                start_c = jnp.minimum(start, n_r - 1)
+                end = jnp.where(
+                    sorted_slots[start_c] == slot, run_end[start_c], start
+                )
+            else:
+                end = jnp.searchsorted(sorted_slots, slot, side="right")
+            end = jnp.where(dup, start, end)  # duplicate slot: no candidates
+            pos = start[:, None] + jnp.arange(cell_cap, dtype=jnp.int32)[None, :]
+            valid = pos < end[:, None]
+            pos_c = jnp.minimum(pos, n_r - 1)
+            cand = sorted_pts[pos_c]
+            # accumulate per coordinate in the dense kernel's exact order
+            # (ops/knn.py:_dist2_block) so distances are BIT-identical
+            d2 = (Q[:, None, 0] - cand[..., 0]) ** 2
+            d2 += (Q[:, None, 1] - cand[..., 1]) ** 2
+            d2 += (Q[:, None, 2] - cand[..., 2]) ** 2
+            cand_d.append(jnp.where(valid, d2, jnp.inf))
+            cand_i.append(
+                jnp.where(valid, orig_idx[pos_c], jnp.int32(2**31 - 1))
+            )
+        d_all = jnp.concatenate(cand_d, axis=1)  # (chunk, 27*cap)
+        i_all = jnp.concatenate(cand_i, axis=1)
+        if d_all.shape[1] < k:  # degenerate tiny cap: pad so [:k] is valid
+            padw = k - d_all.shape[1]
+            d_all = jnp.pad(d_all, ((0, 0), (0, padw)),
+                            constant_values=jnp.inf)
+            i_all = jnp.pad(i_all, ((0, 0), (0, padw)),
+                            constant_values=2**31 - 1)
+        # two-key ascending sort: distance, then original index (dense
+        # top_k tie-break parity); invalid slots (inf, INT_MAX) sort last
+        d_sorted, i_sorted = lax.sort((d_all, i_all), num_keys=2)
+        dk = d_sorted[:, :k]
+        ik = i_sorted[:, :k]
+        certified = dk[:, k - 1] <= cert_d2
+        return dk, ik, certified
+
+    dk, ik, cert = lax.map(chunk_fn, q_chunks)
+    return (dk.reshape(-1, k)[:n_q], ik.reshape(-1, k)[:n_q],
+            cert.reshape(-1)[:n_q])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "cell_cap", "chunk", "cert_margin")
+)
+def knn_search_grid(queries: jnp.ndarray, refs: jnp.ndarray, radius, k: int,
+                    *, cell_cap: int, chunk: int = 2048,
+                    cert_margin: float = 1e-3):
+    """Grid-accelerated exact-when-certified kNN: build + query.
+
+    ~27 * cell_cap * 3 gathered elements per query instead of the dense
+    kernel's k-maintaining sweep over ALL refs — at C=1e5 x 12.5M that is
+    ~2 s vs ~80 s (round-3 calibration rates). Use the certificate to route
+    the (typically zero to few) unproven queries through ops.knn.knn_search.
+    """
+    sorted_pts, sorted_slots, order, origin, run_end = build_sorted_grid(
+        refs, radius
+    )
+    return knn_query_sorted(
+        queries, sorted_pts, sorted_slots, order, origin, radius, k,
+        cell_cap=cell_cap, chunk=chunk, run_end=run_end,
+        cert_margin=cert_margin,
+    )
+
+
 def min_dist_sq_grid(queries, refs, radius, *, cell_cap: int, chunk: int = 2048):
     """Overlap-gate primitive: squared distance to the nearest reference if
     within `radius`, else +inf. Drop-in for ops.knn.min_dist_sq when a gate

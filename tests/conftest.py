@@ -9,6 +9,13 @@ import os
 # Force CPU even when the session presets a TPU platform (JAX_PLATFORMS=axon):
 # tests need x64 parity numerics and the 8-device virtual mesh.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# No persistent compilation cache in tests: it only serves the TPU
+# remote-compile workflow, and its executable-serialization write path
+# segfaulted the suite process intermittently (observed 3x on 2026-08-19,
+# faulthandler trace through compilation_cache.put_executable_and_time
+# during the sharded all-gather compile). Empty string disables it
+# (simpleicp_tpu/__init__.py honors SIMPLEICP_TPU_CACHE).
+os.environ["SIMPLEICP_TPU_CACHE"] = ""
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

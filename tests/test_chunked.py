@@ -108,6 +108,31 @@ def test_split_prologue_knn_blocks_bitequal(dragon):
         _assert_results_bitequal(mono, chunk)
 
 
+def test_grid_knn_prologue_bitequal(dragon):
+    """knn_grid=True routes the prologue normals through the grid kNN
+    (sampled radius, device-exact cell cap, certificates, dense patching of
+    uncertified rows) — the result must STILL be bit-equal to the
+    monolithic dense pipeline. Uses C=8192 so the grid path engages
+    (guarded by C >= 4096)."""
+    import jax.numpy as jnp
+
+    from simpleicp_tpu.models.icp import _icp_run_chunked, icp_register
+
+    X_fix, X_mov = dragon
+    cfg = IcpConfig(correspondences=8192, max_iterations=20)
+    mono = icp_register(X_fix, X_mov, cfg)
+    dt = jnp.float64
+    chunk = _icp_run_chunked(
+        jnp.asarray(X_fix, dt), jnp.asarray(X_mov, dt),
+        jnp.zeros(6, dt), jnp.zeros(6, dt),
+        jnp.zeros((1, 3), dt), jnp.zeros((1,), dt), jnp.zeros((1,), dt),
+        jnp.zeros((1,), bool),
+        cfg=cfg, has_normals=False, has_mov_planarity=False,
+        has_ext_sel=False, chunk_iters=4, knn_block=2048, knn_grid=True,
+    )
+    _assert_results_bitequal(mono, chunk)
+
+
 def test_chunked_no_overlap_error(rng):
     """Error surfaced from the prologue stops the chunk loop immediately."""
     X_fix = _surface(rng, 500)

@@ -54,3 +54,80 @@ def test_grid_gate_no_overlap_flag(rng):
         jnp.asarray(queries), jnp.asarray(refs), 0.25, cell_cap=cap
     )
     assert np.all(np.isinf(np.asarray(d2)))
+
+
+def test_knn_grid_bitequal_dense_random(rng):
+    """Certified grid-kNN rows must be BIT-equal to the dense kernel
+    (distances, indices, order) — the exactness contract the chunked
+    prologue's normals rely on."""
+    from simpleicp_tpu.ops.gridhash import knn_search_grid
+    from simpleicp_tpu.ops.knn import knn_search
+
+    refs = rng.uniform(0, 1, (20_000, 3))
+    queries = rng.uniform(0, 1, (3_000, 3))
+    k = 10
+    d_ref, i_ref = knn_search(jnp.asarray(queries), jnp.asarray(refs), k)
+    # generous radius: every row should certify
+    r = float(np.sqrt(np.asarray(d_ref)[:, -1].max())) * 1.3
+    cap = grid_cell_cap(refs, r)
+    d_g, i_g, cert = knn_search_grid(
+        jnp.asarray(queries), jnp.asarray(refs), r, k, cell_cap=cap
+    )
+    cert = np.asarray(cert)
+    assert cert.all()
+    np.testing.assert_array_equal(np.asarray(i_g), np.asarray(i_ref))
+    np.testing.assert_array_equal(np.asarray(d_g), np.asarray(d_ref))
+
+
+def test_knn_grid_tie_break_parity():
+    """Adversarial ties: a regular lattice makes many candidates exactly
+    equidistant; the grid path must resolve every tie to the same (lowest)
+    original index as the dense kernel's stable top_k."""
+    from simpleicp_tpu.ops.gridhash import knn_search_grid
+    from simpleicp_tpu.ops.knn import knn_search
+
+    g = np.arange(8, dtype=np.float64)
+    refs = np.stack(np.meshgrid(g, g, g, indexing="ij"), -1).reshape(-1, 3)
+    rng = np.random.default_rng(3)
+    refs = refs[rng.permutation(len(refs))]  # scramble index order
+    interior = ((refs >= 1) & (refs <= 5)).all(axis=1)
+    queries = refs[interior][:500] + 0.5  # centers: 8 nearest tie at 0.75
+    k = 12
+    d_ref, i_ref = knn_search(jnp.asarray(queries), jnp.asarray(refs), k)
+    r = 2.1
+    cap = grid_cell_cap(refs, r)
+    d_g, i_g, cert = knn_search_grid(
+        jnp.asarray(queries), jnp.asarray(refs), r, k, cell_cap=cap
+    )
+    assert np.asarray(cert).all()
+    np.testing.assert_array_equal(np.asarray(d_g), np.asarray(d_ref))
+    np.testing.assert_array_equal(np.asarray(i_g), np.asarray(i_ref))
+
+
+def test_knn_grid_certificate_gates_small_radius(rng):
+    """With a radius below the true k-NN distance the certificate must be
+    False (never silently wrong): uncertified rows are allowed to differ,
+    certified rows must still match the dense kernel."""
+    from simpleicp_tpu.ops.gridhash import knn_search_grid
+    from simpleicp_tpu.ops.knn import knn_search
+
+    refs = rng.uniform(0, 1, (5_000, 3))
+    queries = rng.uniform(0, 1, (1_000, 3))
+    k = 10
+    d_ref, i_ref = knn_search(jnp.asarray(queries), jnp.asarray(refs), k)
+    d10 = np.sqrt(np.asarray(d_ref)[:, -1])
+    r = float(np.median(d10)) * 0.8  # half the rows cannot certify
+    cap = grid_cell_cap(refs, r)
+    d_g, i_g, cert = knn_search_grid(
+        jnp.asarray(queries), jnp.asarray(refs), r, k, cell_cap=cap
+    )
+    cert = np.asarray(cert)
+    assert 0 < cert.sum() < len(queries)
+    np.testing.assert_array_equal(
+        np.asarray(i_g)[cert], np.asarray(i_ref)[cert]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(d_g)[cert], np.asarray(d_ref)[cert]
+    )
+    # rows whose true d_k fits well inside the certified radius DID certify
+    assert cert[d10 < r * 0.9].all()

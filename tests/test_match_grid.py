@@ -189,12 +189,29 @@ class TestProgramBudgetGuard:
         # the reference-scale and 100M ungated C=1000 configs are fine
         assert estimate_tpu_program_seconds(100_000, 100_000) < 30.0
         assert estimate_tpu_program_seconds(100_000_000, 100_000_000) < 30.0
-        # a tight match_radius (small cap) makes large-C grid matching fit
+        # A tight match_radius (small cap) does NOT make large-C grid
+        # matching monolithic-safe: the normals kNN alone is ~80 s at the
+        # CALIBRATED k=10 rate (round 3 — this exact config crashed the
+        # worker when the round-2 model priced the kNN at the sweep rate).
+        # It IS chunkable: every indivisible stage fits the budget.
+        from simpleicp_tpu.utils.device_policy import (
+            estimate_tpu_stage_seconds,
+        )
+
         est = estimate_tpu_program_seconds(
             12_500_000, 12_500_000, correspondences=100_000,
             match_method="grid", match_cell_cap=30,
         )
-        assert est < 30.0
+        assert est > 30.0  # monolithic would trip the watchdog
+        gate_s, knn_s, build_s, per_iter = estimate_tpu_stage_seconds(
+            12_500_000, 12_500_000, correspondences=100_000,
+            match_method="grid", match_cell_cap=30,
+        )
+        assert knn_s > 30.0  # the dominant (and query-blockable) stage
+        # chunkable atoms: gate+build program, one iteration, minimal block
+        assert gate_s + build_s < 30.0 * 0.9
+        assert per_iter < 30.0 * 0.9
+        assert knn_s * 2048.0 / 100_000 < 30.0 * 0.9
 
     def test_guard_raises_on_accelerator_backend(self, rng, monkeypatch):
         import jax
