@@ -843,8 +843,12 @@ def _knn_grid_normals(Q, Xf, cfg: IcpConfig, knn_block: int):
             "grid-kNN prologue: %d/%d uncertified rows -> dense recompute",
             failed.size, C,
         )
-        nrm_h = np.asarray(normals)
-        pla_h = np.asarray(planarity)
+        # np.array (copy): np.asarray of a jax array is READ-ONLY, and the
+        # dense recompute patches rows in place (first tripped on TPU —
+        # CPU x64 runs certify every row, so tests need the forced-failure
+        # path of test_chunked.py to cover this).
+        nrm_h = np.array(normals)
+        pla_h = np.array(planarity)
         Q_h = np.asarray(Q)
         blk_cap = knn_block if knn_block > 0 else C
         for s in range(0, failed.size, blk_cap):

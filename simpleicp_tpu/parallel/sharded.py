@@ -300,8 +300,152 @@ def _sharded_knn(Q, Xf_local, f_valid, k, axis, ndev, ref_tile, query_tile):
 
 
 # --------------------------------------------------------------------------
-# the sharded pipeline
+# the sharded pipeline (spmd bodies shared by monolithic + chunked dispatch)
 # --------------------------------------------------------------------------
+
+def _spmd_prologue_body(cfg: IcpConfig, axis, ndev, has_normals, qt, rt,
+                        Xf_l, fv_l, Xm_l, mv_l, ext_l, obs_vals,
+                        nrm_l, pla_l):
+    """Pipeline stages 1-4 inside shard_map: initial H, overlap gate (ring /
+    all-gather / precomputed dilate mask), distributed fixed-count selection,
+    normals. Shared verbatim by the monolithic spmd and the chunked prologue
+    program, so the two dispatch shapes are bit-identical by construction
+    (the single-chip analog is models.icp._prologue_stages).
+
+    Returns (Q, normals, planarity, sel_gidx, sel_valid, error, H0), all
+    replicated."""
+    dtype = Xf_l.dtype
+    C = cfg.correspondences
+
+    H0 = rbp_to_H(obs_vals)
+    error = jnp.int32(ERR_OK)
+
+    # ---- overlap gate (ring pass over movable shards, or the
+    # precomputed dilated-occupancy mask sharded in) ----
+    if cfg.overlap_enabled:
+        if cfg.gate_method == "dilate":
+            sel_l = fv_l & ext_l
+        else:
+            Xm0_l = apply_H(Xm_l, H0)
+            ring = cfg.gate_collective == "ring"
+            if cfg.gate_method == "grid":
+                gate = (_ring_min_dist2_grid if ring
+                        else _allgather_min_dist2_grid)
+                d2 = gate(
+                    Xf_l, fv_l, Xm0_l, mv_l, cfg.max_overlap_distance,
+                    max(cfg.grid_cell_cap, 1), axis, ndev,
+                )
+            elif ring:
+                d2 = _ring_min_dist2(
+                    Xf_l, fv_l, Xm0_l, mv_l, axis, ndev, rt, qt
+                )
+            else:
+                d2 = _allgather_min_dist2(
+                    Xf_l, fv_l, Xm0_l, mv_l, axis, rt, qt
+                )
+            sel_l = fv_l & (
+                d2 <= jnp.asarray(cfg.max_overlap_distance, dtype) ** 2
+            )
+        any_sel = lax.psum(jnp.sum(sel_l), axis) > 0
+        error = jnp.where(any_sel, error, jnp.int32(ERR_NO_OVERLAP))
+        sel_l = jnp.where(any_sel, sel_l, fv_l)
+    else:
+        sel_l = fv_l
+
+    # ---- distributed fixed-count selection ----
+    Q, sel_gidx, sel_valid, _ = _sharded_select_n(
+        sel_l, Xf_l, C, axis, ndev, dtype
+    )
+
+    # ---- normals ----
+    if has_normals:
+        normals = _gather_rows(nrm_l, sel_gidx, axis)
+        planarity = _gather_rows(pla_l[:, None], sel_gidx, axis)[:, 0]
+    else:
+        _, idxk = _sharded_knn(Q, Xf_l, fv_l, cfg.neighbors, axis, ndev, rt, qt)
+        flat = idxk.reshape(-1)
+        neigh = _gather_rows(Xf_l, flat, axis).reshape(C, cfg.neighbors, 3)
+        normals, planarity, _ = estimate_normals_from_neighborhoods(neigh)
+    return Q, normals, planarity, sel_gidx, sel_valid, error, H0
+
+
+def _spmd_build_match_grid(cfg: IcpConfig, axis, Xm_l, mv_l):
+    """The sharded static-grid matcher's one-time cell list: each shard
+    builds over its original movable block, binned on a GLOBAL lattice
+    origin (pmin of per-shard valid minima) so the full-cloud cell cap
+    bounds per-shard slot occupancy. Rigid motion preserves distances, so
+    this single build serves every iteration (models.icp._build_match_grid
+    rationale). Returns (g_pts, g_slots, g_order, g_origin, g_run_end) —
+    per-shard arrays except the replicated origin."""
+    from ..ops.gridhash import build_sorted_grid
+
+    dtype = Xm_l.dtype
+    rm = jnp.asarray(
+        cfg.match_radius if cfg.match_radius > 0
+        else cfg.max_overlap_distance, dtype,
+    )
+    big = jnp.asarray(1e30, dtype)
+    g_origin = lax.pmin(
+        jnp.min(jnp.where(mv_l[:, None], Xm_l, big), axis=0), axis
+    )
+    g_pts, g_slots, g_order, _, g_run_end = build_sorted_grid(
+        Xm_l, rm, valid=mv_l, origin=g_origin
+    )
+    return g_pts, g_slots, g_order, g_origin, g_run_end
+
+
+def _spmd_match_fns(cfg: IcpConfig, axis, Q, Xm_l, mv_l, grid, qt, rt):
+    """The per-iteration collective matcher + row gather for the shared ICP
+    loop. `grid` is the _spmd_build_match_grid 5-tuple for
+    match_method='grid' (passed explicitly so the chunked dispatcher can
+    build it once in the prologue program and feed it to every chunk).
+
+    Grid matcher: queries are replicated, so each shard queries its local
+    cell list with the back-transformed queries and the per-shard winners
+    min-combine — no ring pass. Brute: local argmin per shard + combine."""
+    dtype = Q.dtype
+    mrows = Xm_l.shape[0]
+    me = lax.axis_index(axis)
+
+    if cfg.match_method == "grid":
+        from ..ops.gridhash import grid_query_sorted
+
+        rm = jnp.asarray(
+            cfg.match_radius if cfg.match_radius > 0
+            else cfg.max_overlap_distance, dtype,
+        )
+        g_pts, g_slots, g_order, g_origin, g_run_end = grid
+
+        def match_fn(Ht):
+            R, t = Ht[:3, :3], Ht[:3, 3]
+            qb = (Q - t) @ R  # rigid inverse: NN(q, Ht x) == NN(qb, x)
+            d2_l, pos_l = grid_query_sorted(
+                qb, g_pts, g_slots, g_origin, rm,
+                cell_cap=max(cfg.match_cell_cap, 1), run_end=g_run_end,
+            )
+            d2, m_idx = _combine_nn(
+                d2_l, g_order[pos_l].astype(jnp.int32) + me * mrows, axis
+            )
+            m_ok = d2 <= rm * rm
+            m_idx = jnp.where(m_ok, m_idx, 0)
+            m_orig = _gather_rows(Xm_l, m_idx, axis)
+            return m_idx, apply_H(m_orig, Ht), m_orig, m_ok
+    else:
+        def match_fn(Ht):
+            Xm_t_l = apply_H(Xm_l, Ht)
+            d2_l, idx_l = nn_search(
+                Q, Xm_t_l, ref_tile=rt, query_tile=qt, ref_mask=mv_l
+            )
+            _, m_idx = _combine_nn(d2_l, idx_l + me * mrows, axis)
+            m_t = _gather_rows(Xm_t_l, m_idx, axis)
+            m_orig = _gather_rows(Xm_l, m_idx, axis)
+            return m_idx, m_t, m_orig, jnp.ones_like(m_idx, bool)
+
+    def gather_fn(m_idx):
+        return _gather_rows(Xm_l, m_idx, axis)
+
+    return match_fn, gather_fn
+
 
 @functools.partial(
     jax.jit,
@@ -314,113 +458,24 @@ def _icp_run_sharded(Xf, f_valid, Xm, m_valid, ext_sel, obs_vals, obs_w,
                      mesh: jax.sharding.Mesh, ndev: int) -> IcpResult:
     axis = mesh.axis_names[0]
     qt, rt = cfg.query_tile, (cfg.ref_tile or 4096)
-    C = cfg.correspondences
 
     def spmd(Xf_l, fv_l, Xm_l, mv_l, ext_l, obs_vals, obs_w, nrm_l, pla_l,
              pmov_l):
         dtype = Xf_l.dtype
-        mrows = Xm_l.shape[0]
-        frows = Xf_l.shape[0]
-        me = lax.axis_index(axis)
 
-        H0 = rbp_to_H(obs_vals)
-        error = jnp.int32(ERR_OK)
-
-        # ---- overlap gate (ring pass over movable shards, or the
-        # precomputed dilated-occupancy mask sharded in) ----
-        if cfg.overlap_enabled:
-            if cfg.gate_method == "dilate":
-                sel_l = fv_l & ext_l
-            else:
-                Xm0_l = apply_H(Xm_l, H0)
-                ring = cfg.gate_collective == "ring"
-                if cfg.gate_method == "grid":
-                    gate = (_ring_min_dist2_grid if ring
-                            else _allgather_min_dist2_grid)
-                    d2 = gate(
-                        Xf_l, fv_l, Xm0_l, mv_l, cfg.max_overlap_distance,
-                        max(cfg.grid_cell_cap, 1), axis, ndev,
-                    )
-                elif ring:
-                    d2 = _ring_min_dist2(
-                        Xf_l, fv_l, Xm0_l, mv_l, axis, ndev, rt, qt
-                    )
-                else:
-                    d2 = _allgather_min_dist2(
-                        Xf_l, fv_l, Xm0_l, mv_l, axis, rt, qt
-                    )
-                sel_l = fv_l & (
-                    d2 <= jnp.asarray(cfg.max_overlap_distance, dtype) ** 2
-                )
-            any_sel = lax.psum(jnp.sum(sel_l), axis) > 0
-            error = jnp.where(any_sel, error, jnp.int32(ERR_NO_OVERLAP))
-            sel_l = jnp.where(any_sel, sel_l, fv_l)
-        else:
-            sel_l = fv_l
-
-        # ---- distributed fixed-count selection ----
-        Q, sel_gidx, sel_valid, _ = _sharded_select_n(
-            sel_l, Xf_l, C, axis, ndev, dtype
+        Q, normals, planarity, sel_gidx, sel_valid, error, H0 = (
+            _spmd_prologue_body(
+                cfg, axis, ndev, has_normals, qt, rt,
+                Xf_l, fv_l, Xm_l, mv_l, ext_l, obs_vals, nrm_l, pla_l,
+            )
         )
 
-        # ---- normals ----
-        if has_normals:
-            normals = _gather_rows(nrm_l, sel_gidx, axis)
-            planarity = _gather_rows(pla_l[:, None], sel_gidx, axis)[:, 0]
-        else:
-            _, idxk = _sharded_knn(Q, Xf_l, fv_l, cfg.neighbors, axis, ndev, rt, qt)
-            flat = idxk.reshape(-1)
-            neigh = _gather_rows(Xf_l, flat, axis).reshape(C, cfg.neighbors, 3)
-            normals, planarity, _ = estimate_normals_from_neighborhoods(neigh)
-
         # ---- the shared ICP loop with a collective matcher ----
-        if cfg.match_method == "grid":
-            from ..ops.gridhash import build_sorted_grid, grid_query_sorted
-
-            # Static-grid matcher, sharded: each shard builds ONE cell list
-            # over its original movable block (on a GLOBAL lattice origin so
-            # the full-cloud cell cap bounds per-shard occupancy), queries it
-            # with the replicated back-transformed queries, and the per-shard
-            # winners min-combine — no ring pass, queries are replicated.
-            rm = jnp.asarray(
-                cfg.match_radius if cfg.match_radius > 0
-                else cfg.max_overlap_distance, dtype,
-            )
-            big = jnp.asarray(1e30, dtype)
-            g_origin = lax.pmin(
-                jnp.min(jnp.where(mv_l[:, None], Xm_l, big), axis=0), axis
-            )
-            g_pts, g_slots, g_order, _, g_run_end = build_sorted_grid(
-                Xm_l, rm, valid=mv_l, origin=g_origin
-            )
-
-            def match_fn(Ht):
-                R, t = Ht[:3, :3], Ht[:3, 3]
-                qb = (Q - t) @ R  # rigid inverse: NN(q, Ht x) == NN(qb, x)
-                d2_l, pos_l = grid_query_sorted(
-                    qb, g_pts, g_slots, g_origin, rm,
-                    cell_cap=max(cfg.match_cell_cap, 1), run_end=g_run_end,
-                )
-                d2, m_idx = _combine_nn(
-                    d2_l, g_order[pos_l].astype(jnp.int32) + me * mrows, axis
-                )
-                m_ok = d2 <= rm * rm
-                m_idx = jnp.where(m_ok, m_idx, 0)
-                m_orig = _gather_rows(Xm_l, m_idx, axis)
-                return m_idx, apply_H(m_orig, Ht), m_orig, m_ok
-        else:
-            def match_fn(Ht):
-                Xm_t_l = apply_H(Xm_l, Ht)
-                d2_l, idx_l = nn_search(
-                    Q, Xm_t_l, ref_tile=rt, query_tile=qt, ref_mask=mv_l
-                )
-                _, m_idx = _combine_nn(d2_l, idx_l + me * mrows, axis)
-                m_t = _gather_rows(Xm_t_l, m_idx, axis)
-                m_orig = _gather_rows(Xm_l, m_idx, axis)
-                return m_idx, m_t, m_orig, jnp.ones_like(m_idx, bool)
-
-        def gather_fn(m_idx):
-            return _gather_rows(Xm_l, m_idx, axis)
+        grid = (_spmd_build_match_grid(cfg, axis, Xm_l, mv_l)
+                if cfg.match_method == "grid" else None)
+        match_fn, gather_fn = _spmd_match_fns(
+            cfg, axis, Q, Xm_l, mv_l, grid, qt, rt
+        )
 
         mov_planarity_fn = (
             (lambda m_idx: _gather_rows(pmov_l[:, None], m_idx, axis)[:, 0])
@@ -484,6 +539,170 @@ def _icp_run_sharded(Xf, f_valid, Xm, m_valid, ext_sel, obs_vals, obs_w,
       planarity_fix, planarity_mov)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "has_normals", "mesh", "ndev", "build_grid"),
+)
+def _icp_prologue_sharded(Xf, f_valid, Xm, m_valid, ext_sel, obs_vals,
+                          normals_fix, planarity_fix,
+                          *, cfg: IcpConfig, has_normals: bool,
+                          mesh: jax.sharding.Mesh, ndev: int,
+                          build_grid: bool):
+    """Sharded chunked-dispatch program 1 (mirrors models.icp._icp_prologue_jit):
+    stages 1-4 plus the optional one-time grid build, as ONE shard_map
+    program. The per-shard grid arrays come back sharded and stay
+    device-resident for every chunk."""
+    axis = mesh.axis_names[0]
+    qt, rt = cfg.query_tile, (cfg.ref_tile or 4096)
+
+    def spmd(Xf_l, fv_l, Xm_l, mv_l, ext_l, obs_vals, nrm_l, pla_l):
+        out = _spmd_prologue_body(
+            cfg, axis, ndev, has_normals, qt, rt,
+            Xf_l, fv_l, Xm_l, mv_l, ext_l, obs_vals, nrm_l, pla_l,
+        )
+        grid = (_spmd_build_match_grid(cfg, axis, Xm_l, mv_l)
+                if build_grid else ())
+        return out + (grid,)
+
+    sharded, sharded2d, rep = P(axis), P(axis, None), P()
+    grid_specs = ((sharded2d, sharded, sharded, rep, sharded)
+                  if build_grid else ())
+    return shard_map(
+        spmd,
+        mesh=mesh,
+        in_specs=(sharded2d, sharded, sharded2d, sharded, sharded, rep,
+                  sharded2d, sharded),
+        out_specs=(rep, rep, rep, rep, rep, rep, rep, grid_specs),
+        check_vma=False,
+    )(Xf, f_valid, Xm, m_valid, ext_sel, obs_vals, normals_fix,
+      planarity_fix)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "has_mov_planarity", "use_grid", "mesh", "ndev"),
+)
+def _icp_chunk_sharded(carry, it_hi, Q, normals, planarity, sel_valid,
+                       obs_vals, obs_w, Xm, m_valid, planarity_mov, grid,
+                       *, cfg: IcpConfig, has_mov_planarity: bool,
+                       use_grid: bool, mesh: jax.sharding.Mesh, ndev: int):
+    """Sharded chunked-dispatch program 2 (compiled ONCE, re-dispatched per
+    chunk — mirrors models.icp._icp_chunk_jit): resume the collective ICP
+    while_loop from the replicated `carry`, stop at iteration `it_hi`
+    (traced), return the carry plus the uncertainty estimate of its final
+    state."""
+    axis = mesh.axis_names[0]
+    qt, rt = cfg.query_tile, (cfg.ref_tile or 4096)
+
+    def spmd(carry, it_hi, Q, normals, planarity, sel_valid, obs_vals,
+             obs_w, Xm_l, mv_l, pmov_l, grid):
+        dtype = Q.dtype
+        match_fn, gather_fn = _spmd_match_fns(
+            cfg, axis, Q, Xm_l, mv_l, grid if use_grid else None, qt, rt
+        )
+        mov_planarity_fn = (
+            (lambda m_idx: _gather_rows(pmov_l[:, None], m_idx, axis)[:, 0])
+            if has_mov_planarity else None
+        )
+        return run_icp_loop(
+            Q, normals, planarity, sel_valid, obs_vals, obs_w, cfg, dtype,
+            jnp.int32(ERR_OK), jnp.eye(4, dtype=dtype),  # unused: carry_in
+            match_fn, gather_fn, mov_planarity_fn=mov_planarity_fn,
+            carry_in=carry, it_hi=it_hi,
+        )
+
+    sharded, sharded2d, rep = P(axis), P(axis, None), P()
+    carry_specs = jax.tree.map(lambda _: rep, carry)
+    grid_specs = ((sharded2d, sharded, sharded, rep, sharded)
+                  if use_grid else ())
+    return shard_map(
+        spmd,
+        mesh=mesh,
+        in_specs=(carry_specs, rep, rep, rep, rep, rep, rep, rep,
+                  sharded2d, sharded, sharded, grid_specs),
+        out_specs=(carry_specs, rep, rep),
+        check_vma=False,
+    )(carry, it_hi, Q, normals, planarity, sel_valid, obs_vals, obs_w,
+      Xm, m_valid, planarity_mov, grid)
+
+
+def _icp_run_sharded_chunked(Xf, f_valid, Xm, m_valid, ext_sel, obs_vals,
+                             obs_w, normals_fix, planarity_fix,
+                             planarity_mov,
+                             *, cfg: IcpConfig, has_normals: bool,
+                             has_mov_planarity: bool,
+                             mesh: jax.sharding.Mesh, ndev: int,
+                             chunk_iters: int) -> IcpResult:
+    """Host-chunked SHARDED registration (the models.icp._icp_run_chunked
+    analog over a device mesh): one prologue shard_map program, then
+    K-iteration loop programs re-dispatched from the host with the
+    replicated carry, the sharded clouds, and the per-shard grid staying
+    device-resident between chunks.
+
+    Per-device work already shrinks with the mesh, so most sharded configs
+    run monolithic; this path exists for big-correspondence jobs on small
+    meshes (per-chunk device time stays bounded under the same watchdog
+    guard as single-chip). Bit-identical to the monolithic sharded program:
+    the spmd stage bodies are shared functions, and the chunk boundary only
+    moves where the while_loop condition is evaluated (pinned by
+    tests/test_sharded.py::test_sharded_chunked_*)."""
+    from ..models.icp import make_carry_init
+
+    use_grid = cfg.match_method == "grid"
+    T = cfg.max_iterations
+    K = max(1, int(chunk_iters))
+    dtype = Xf.dtype
+
+    (Q, normals, planarity, sel_gidx, sel_valid, error, H0, grid
+     ) = _icp_prologue_sharded(
+        Xf, f_valid, Xm, m_valid, ext_sel, obs_vals, normals_fix,
+        planarity_fix,
+        cfg=cfg, has_normals=has_normals, mesh=mesh, ndev=ndev,
+        build_grid=use_grid,
+    )
+    carry = make_carry_init(cfg, dtype, obs_vals.astype(dtype), H0, error)
+
+    while True:
+        hi = min(T, int(carry.it) + K)
+        carry, uncertainties, covariance = _icp_chunk_sharded(
+            carry, jnp.int32(hi), Q, normals, planarity, sel_valid,
+            obs_vals, obs_w, Xm, m_valid, planarity_mov, grid,
+            cfg=cfg, has_mov_planarity=has_mov_planarity,
+            use_grid=use_grid, mesh=mesh, ndev=ndev,
+        )
+        if (bool(carry.converged) or int(carry.error) != ERR_OK
+                or int(carry.it) >= T):
+            break
+
+    return IcpResult(
+        H=carry.H,
+        p=carry.p,
+        uncertainties=uncertainties,
+        covariance=covariance,
+        n_iterations=carry.it,
+        converged=carry.converged,
+        error_code=carry.error,
+        iter_counts=carry.iter_counts,
+        iter_means=carry.iter_means,
+        iter_stds=carry.iter_stds,
+        orig_count=carry.orig_count,
+        orig_mean=carry.orig_mean,
+        orig_std=carry.orig_std,
+        residuals=carry.residuals,
+        residual_mask=carry.residual_mask,
+        distance_weight=carry.dist_w,
+        sel_idx=sel_gidx,
+        sel_valid=sel_valid,
+        normals=normals,
+        planarity=planarity,
+        iter_ps=carry.iter_ps,
+        iter_midx=carry.iter_midx,
+        iter_masks=carry.iter_masks,
+        iter_dists=carry.iter_dists,
+        iter_gn_rel_steps=carry.iter_gn,
+    )
+
+
 def icp_register_sharded(
     X_fix,
     X_mov,
@@ -508,14 +727,6 @@ def icp_register_sharded(
         mesh = make_mesh()
     ndev = int(np.prod(mesh.devices.shape))
     axis = mesh.axis_names[0]
-
-    # The sharded driver is monolithic-only (per-device work shrinks with
-    # the mesh, so the watchdog pressure chunking addresses is a single-chip
-    # concern); normalize the dispatch fields out of the jit-static cfg.
-    if cfg.dispatch != "auto" or cfg.chunk_iterations != 0:
-        import dataclasses
-
-        cfg = dataclasses.replace(cfg, dispatch="auto", chunk_iterations=0)
 
     # Same NN ref-tile auto-scaling as the single-chip driver, but against
     # the per-shard movable block size (the scan per device runs over its
@@ -659,6 +870,88 @@ def icp_register_sharded(
     if ext_sel_mask is not None:
         ext_pad[:nf] = np.asarray(ext_sel_mask)
 
+    # ---- Dispatch planning (host-side): monolithic vs host-chunked ----
+    # Mirrors models.icp.icp_register's watchdog guard with per-DEVICE
+    # stage costs: the gate, normals kNN, and grid build shard over the
+    # mesh (divide by ndev); the brute matcher sweeps local blocks (divide
+    # by ndev); the grid matcher's candidate gathers are per replicated
+    # query, so its per-iteration cost does NOT shrink with the mesh. Most
+    # sharded configs therefore stay monolithic, and chunking engages only
+    # for big-correspondence jobs on small meshes. No kNN query-block split
+    # here: the per-device kNN is already mesh-divided, so a prologue that
+    # alone exceeds the budget is refused with guidance.
+    import dataclasses
+
+    from ..utils.device_policy import estimate_tpu_stage_seconds
+
+    dispatch = cfg.dispatch
+    chunk_k = cfg.chunk_iterations
+    budget = cfg.program_budget_s
+    guarded = budget > 0 and jax.default_backend() != "cpu"
+    if guarded:
+        gate_pairs = (
+            float(nf) * nm / ndev
+            if cfg.overlap_enabled and ext_sel_mask is None
+            and cfg.gate_method == "brute"
+            else 0.0
+        )
+        gate_s, knn_s, build_s, per_iter_s = estimate_tpu_stage_seconds(
+            nf, nm,
+            correspondences=cfg.correspondences,
+            neighbors=cfg.neighbors,
+            gate_pairs=gate_pairs,
+            match_method=cfg.match_method,
+            match_cell_cap=cfg.match_cell_cap,
+            has_normals=has_normals,
+        )
+        knn_s /= ndev
+        build_s /= ndev
+        if cfg.match_method != "grid":
+            per_iter_s /= ndev
+        est = (gate_s + knn_s + build_s
+               + min(10, cfg.max_iterations) * per_iter_s)
+        atom_s = max(gate_s + knn_s + build_s, per_iter_s)
+        if atom_s > budget * 0.9:
+            raise ValueError(
+                f"this sharded configuration is estimated at ~{atom_s:.0f} s "
+                f"of per-device time for its largest indivisible program "
+                f"(prologue ~{gate_s + knn_s + build_s:.0f} s, "
+                f"~{per_iter_s:.0f} s per iteration) — even chunked dispatch "
+                f"would exceed the program_budget_s={budget:g} watchdog "
+                "guard (over-long programs crash TPU workers). Use more "
+                "devices, reduce `correspondences`, set a small "
+                "`match_radius`, or raise/disable program_budget_s if your "
+                "runtime allows long programs."
+            )
+        if dispatch == "monolithic" and est > budget:
+            raise ValueError(
+                f"this sharded configuration is estimated at ~{est:.0f} s of "
+                f"per-device time in ONE program, over the program_budget_s="
+                f"{budget:g} watchdog guard. Use dispatch='auto'/'chunked' "
+                "(bounded-size programs, identical math), more devices, or "
+                "raise/disable program_budget_s."
+            )
+        if dispatch == "auto":
+            dispatch = "monolithic" if est <= budget else "chunked"
+        if dispatch == "chunked" and chunk_k == 0:
+            chunk_k = max(1, int((budget * 0.5) / max(per_iter_s, 1e-9)))
+        import logging
+
+        logging.getLogger(__name__).info(
+            "sharded dispatch plan: %s over %d devices (est %.1f s/device = "
+            "gate %.1f + knn %.1f + build %.1f + %.2f s/iter%s; budget %g s)",
+            dispatch, ndev, est, gate_s, knn_s, build_s, per_iter_s,
+            f", K={chunk_k}" if dispatch == "chunked" else "", budget,
+        )
+    else:
+        if dispatch == "auto":
+            dispatch = "monolithic"
+        if chunk_k == 0:
+            chunk_k = 8
+    # dispatch fields never reach the trace; normalize them out of the
+    # jit-static cfg so plan changes don't recompile identical programs
+    run_cfg = dataclasses.replace(cfg, dispatch="auto", chunk_iterations=0)
+
     shard1 = NamedSharding(mesh, P(axis))
     shard2 = NamedSharding(mesh, P(axis, None))
     rep = NamedSharding(mesh, P())
@@ -674,7 +967,13 @@ def icp_register_sharded(
         _put_sharded(pla, shard1),
         _put_sharded(pmov, shard1),
     )
+    if dispatch == "chunked":
+        return _icp_run_sharded_chunked(
+            *args, cfg=run_cfg, has_normals=has_normals,
+            has_mov_planarity=has_mov_planarity, mesh=mesh, ndev=ndev,
+            chunk_iters=chunk_k,
+        )
     return _icp_run_sharded(
-        *args, cfg=cfg, has_normals=has_normals,
+        *args, cfg=run_cfg, has_normals=has_normals,
         has_mov_planarity=has_mov_planarity, mesh=mesh, ndev=ndev,
     )

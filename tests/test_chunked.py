@@ -170,3 +170,54 @@ def test_stage_estimator_consistency():
     assert knn_s * 2048.0 / c < budget * 0.9  # a minimal query block does
     k = max(1, int((budget * 0.5) / per))
     assert k >= 1 and k * per <= budget * 0.5 + per
+
+
+def test_grid_knn_prologue_patches_uncertified_rows(rng, caplog, monkeypatch):
+    """Force the certificate-failure path of _knn_grid_normals: queries in a
+    sparse region (skipped by the 1024-query radius sample) whose k-th NN
+    lies beyond the sampled cell radius fail certification and must be
+    recomputed densely IN PLACE — a read-only np.asarray view here shipped
+    broken to TPU once (2026-08-19), so this pins both the patching and the
+    bit-equality with the dense kernel."""
+    import logging
+
+    import jax.numpy as jnp
+
+    from simpleicp_tpu.models.icp import _icp_knn_block_jit, _knn_grid_normals
+    from simpleicp_tpu.utils import device_policy
+
+    # a small cloud keeps the test fast; make the grid plan economical by
+    # deflating the modeled dense-kNN rate (the economics read the module
+    # attributes at call time)
+    monkeypatch.setattr(device_policy, "TPU_KNN10_PAIRS_PER_SEC", 1e7)
+
+    # dense uniform slab + a sparse far-away patch
+    n_side = 224  # ~50k points
+    g = np.stack(np.meshgrid(np.arange(n_side), np.arange(n_side)), -1)
+    dense = np.column_stack([
+        g.reshape(-1, 2) * 0.01,
+        0.001 * np.sin(g.reshape(-1, 2).sum(1)),
+    ])
+    sparse = rng.uniform(50.0, 60.0, size=(40, 3))  # spacing >> dense
+    Xf = jnp.asarray(np.vstack([dense, sparse]))
+
+    C = 4096
+    q_idx = np.linspace(0, dense.shape[0] - 1, C).astype(int)
+    # plant sparse-region queries at indices the radius sample skips
+    # (stride = C // 1024 = 4; avoid multiples of 4)
+    for j in range(sparse.shape[0]):
+        q_idx[4 * j + 1] = dense.shape[0] + j
+    Q = Xf[jnp.asarray(q_idx)]
+
+    from simpleicp_tpu import IcpConfig
+
+    cfg = IcpConfig(correspondences=C)
+    with caplog.at_level(logging.INFO, "simpleicp_tpu.models.icp"):
+        normals, planarity = _knn_grid_normals(Q, Xf, cfg, knn_block=2048)
+    assert normals is not None, "grid plan unexpectedly uneconomical"
+    assert any("uncertified" in r.message for r in caplog.records), (
+        "test construction failed to force certificate failures"
+    )
+    nrm_d, pla_d = _icp_knn_block_jit(Q, Xf, cfg=cfg)
+    np.testing.assert_array_equal(np.asarray(normals), np.asarray(nrm_d))
+    np.testing.assert_array_equal(np.asarray(planarity), np.asarray(pla_d))

@@ -321,3 +321,95 @@ def test_sharded_dilate_gate_matches_serial(rng):
         np.asarray(rd.H), np.asarray(res_se.H), atol=1e-9
     )
     assert int(rb.n_iterations) == int(rd.n_iterations)
+
+
+def _assert_results_bitequal(a, b):
+    for field in a._fields:
+        va, vb = np.asarray(getattr(a, field)), np.asarray(getattr(b, field))
+        np.testing.assert_array_equal(va, vb, err_msg=field)
+
+
+def test_sharded_chunked_equals_monolithic(rng):
+    """Host-chunked sharded dispatch (prologue program + K-iteration chunk
+    programs, carry replicated) must be BIT-equal to the monolithic sharded
+    program in every result field — gate + dynamic selection + brute
+    collective matcher."""
+    import dataclasses
+
+    X_fix = _surface(rng, 3005)
+    X_mov = _surface(rng, 2999) - np.array([0.02, 0.01, -0.015])
+    cfg = IcpConfig(correspondences=250, max_overlap_distance=0.5,
+                    max_iterations=30)
+    mesh = make_mesh(8)
+    mono = icp_register_sharded(X_fix, X_mov, cfg, mesh=mesh)
+    chunk = icp_register_sharded(
+        X_fix, X_mov,
+        dataclasses.replace(cfg, dispatch="chunked", chunk_iterations=2),
+        mesh=mesh,
+    )
+    assert int(mono.error_code) == 0
+    _assert_results_bitequal(mono, chunk)
+
+
+def test_sharded_chunked_grid_matcher_equals_monolithic(rng):
+    """The sharded grid matcher's per-shard cell lists are built once in the
+    chunked prologue program and re-fed (sharded) to every chunk — results
+    must not depend on that split."""
+    import dataclasses
+
+    X_fix = _surface(rng, 3072)
+    X_mov = _surface(rng, 3050) - np.array([0.02, -0.01, 0.01])
+    cfg = IcpConfig(
+        correspondences=250, max_overlap_distance=0.5,
+        match_method="grid", max_iterations=30,
+    )
+    mesh = make_mesh(4)
+    mono = icp_register_sharded(X_fix, X_mov, cfg, mesh=mesh)
+    chunk = icp_register_sharded(
+        X_fix, X_mov,
+        dataclasses.replace(cfg, dispatch="chunked", chunk_iterations=3),
+        mesh=mesh,
+    )
+    assert int(mono.error_code) == 0
+    assert int(np.asarray(mono.iter_counts)[0]) > 0
+    _assert_results_bitequal(mono, chunk)
+
+
+def test_sharded_chunked_with_observations_and_trajectory(rng):
+    """Frozen parameters + recorded trajectory ride the replicated carry
+    across sharded chunk boundaries."""
+    import dataclasses
+
+    X_fix = _surface(rng, 2003)
+    X_mov = _surface(rng, 2001) - np.array([0.01, 0.02, -0.01])
+    obs_vals = np.array([np.deg2rad(-0.5), 0.0, 0.0, 0.0, 0.0, 0.0])
+    obs_w = np.array([np.inf, np.inf, 0.0, 0.0, 0.0, 0.0])
+    cfg = IcpConfig(correspondences=200, max_overlap_distance=0.5,
+                    record_trajectory=True, max_iterations=30)
+    mesh = make_mesh(8)
+    mono = icp_register_sharded(X_fix, X_mov, cfg, mesh=mesh,
+                                rbp_observed_values=obs_vals,
+                                rbp_observation_weights=obs_w)
+    chunk = icp_register_sharded(
+        X_fix, X_mov,
+        dataclasses.replace(cfg, dispatch="chunked", chunk_iterations=2),
+        mesh=mesh, rbp_observed_values=obs_vals,
+        rbp_observation_weights=obs_w,
+    )
+    _assert_results_bitequal(mono, chunk)
+
+
+def test_sharded_chunked_no_overlap_error(rng):
+    """Error surfaced from the sharded prologue stops the chunk loop."""
+    import dataclasses
+
+    X_fix = _surface(rng, 1000)
+    res = icp_register_sharded(
+        X_fix, X_fix + 100.0,
+        dataclasses.replace(
+            IcpConfig(max_overlap_distance=0.1),
+            dispatch="chunked", chunk_iterations=2,
+        ),
+        mesh=make_mesh(8),
+    )
+    assert int(res.error_code) == 1
