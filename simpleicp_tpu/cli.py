@@ -138,6 +138,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="iterations per chunked-dispatch program (0 = derive from "
              "--program-budget)",
     )
+    p.add_argument(
+        "--probe-timeout", type=float, default=120.0,
+        help="pre-flight accelerator health probe timeout in seconds for "
+             "jobs routed to the accelerator (a degraded TPU worker hangs "
+             "fresh compiles/transfers for many minutes while cached "
+             "programs still run; the probe detects this and --device auto "
+             "falls back to the CPU for CPU-tractable jobs instead of "
+             "silently running ~100x slower; 0 disables the probe)",
+    )
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -180,15 +189,39 @@ def main(argv=None) -> int:
     # Route the job by size BEFORE any jax array work latches the backend
     # (PointCloud I/O is pure numpy): small registrations finish faster on
     # the local CPU than a tunnel-attached accelerator's process overhead.
-    from .utils.device_policy import apply_device, resolve_device
+    from .utils.device_policy import (
+        apply_device,
+        degraded_fallback,
+        estimate_cpu_seconds,
+        probe_default_backend,
+        resolve_device,
+    )
 
-    apply_device(resolve_device(
+    resolved = resolve_device(
         args.device, len(pc_fix), len(pc_mov),
         correspondences=args.correspondences,
         max_overlap_distance=max_overlap,
         max_iterations=args.max_iterations,
         sharded=args.num_devices > 0,
-    ))
+    )
+    if resolved != "cpu" and args.probe_timeout > 0:
+        # Heading to the accelerator: health-probe it first (subprocess,
+        # fresh shape, timeout) — a degraded worker would otherwise stall
+        # this run for many minutes with no feedback.
+        status, backend, _ = probe_default_backend(args.probe_timeout)
+        if status != "ok" and backend != "cpu":
+            resolved, msg = degraded_fallback(
+                args.device, status,
+                estimate_cpu_seconds(
+                    len(pc_fix), len(pc_mov),
+                    correspondences=args.correspondences,
+                    max_overlap_distance=max_overlap,
+                    max_iterations=args.max_iterations,
+                ),
+            )
+            if msg and not args.quiet:
+                print(f"WARNING: {msg}", file=sys.stderr, flush=True)
+    apply_device(resolved)
 
     solver, min_change = args.solver, args.min_change
     mad_scale, staging, ddof = args.mad_scale, args.rejection_staging, args.std_ddof

@@ -172,6 +172,92 @@ def resolve_device(
     return "cpu" if sec <= CPU_ROUTE_MAX_SEC else "default"
 
 
+# A degraded accelerator worker (post-big-job stall, crash recovery) hangs
+# fresh compiles/transfers for 5-60+ minutes while CACHED programs still run
+# (CLAUDE.md; measured 2026-08-19: a warm 6.7 s gated 12.5M registration took
+# 770 s inside such a window). When the pre-flight probe detects one, --device
+# auto falls back to the local CPU whenever the job is estimated under this
+# many CPU seconds — a bounded slowdown beats an unbounded stall.
+DEGRADED_CPU_FALLBACK_MAX_S = 3600.0
+
+
+def probe_default_backend(timeout_s: float = 120.0) -> tuple:
+    """Pre-flight health probe of the default jax backend, in a SUBPROCESS
+    under a timeout: fresh-shape matmul with a forced readback (fresh shapes
+    defeat program caching, so a real compile+transfer is exercised — cached
+    programs keep running on a degraded worker while new ones hang).
+
+    Returns (status, backend, seconds): status "ok" | "timeout" | "error";
+    backend is the subprocess's default backend name when known ("" on
+    timeout). Must run BEFORE any in-process jax array work — a first touch
+    of a stalled worker hangs uninterruptibly in-process (bench.py's
+    _wait_for_device is the original pattern)."""
+    import random
+    import subprocess
+    import sys
+    import time
+
+    n = 517 + random.randrange(256)
+    code = (
+        # JAX_PLATFORMS alone does not override a registered plugin backend;
+        # apply it via config so CPU-forced environments probe CPU.
+        "import os\n"
+        "plat = os.environ.get('JAX_PLATFORMS')\n"
+        "import jax\n"
+        "if plat: jax.config.update('jax_platforms', plat)\n"
+        "import numpy as np, jax.numpy as jnp\n"
+        f"x = jnp.ones(({n}, 331), jnp.float32)\n"
+        "np.asarray(x @ x.T)\n"
+        "print('PROBE', jax.default_backend())\n"
+    )
+    t0 = time.monotonic()
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s,
+            capture_output=True, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        return "timeout", "", timeout_s
+    dt = time.monotonic() - t0
+    backend = ""
+    for line in (r.stdout or "").splitlines():
+        if line.startswith("PROBE "):
+            backend = line.split()[1]
+    return ("ok" if r.returncode == 0 else "error"), backend, dt
+
+
+def degraded_fallback(choice: str, probe_status: str, cpu_est_s: float) -> tuple:
+    """Routing decision after a failed health probe ("timeout"/"error").
+
+    Returns (resolved, message): resolved "cpu" to reroute or "default" to
+    proceed on the accelerator; message is a human-readable warning (always
+    set when the probe failed). Policy: --device auto falls back to CPU for
+    jobs bounded by DEGRADED_CPU_FALLBACK_MAX_S of estimated CPU time;
+    forced tpu (or CPU-intractable jobs) proceed with a loud warning rather
+    than refusing — cached programs may still run, and the worker usually
+    heals in minutes."""
+    if probe_status == "ok":
+        return "default", None
+    why = ("did not answer a fresh-shape probe (worker stalled or "
+           "recovering)" if probe_status == "timeout"
+           else "failed a fresh-shape probe (worker likely recovering "
+                "from a crash)")
+    if choice == "auto" and cpu_est_s <= DEGRADED_CPU_FALLBACK_MAX_S:
+        return "cpu", (
+            f"accelerator {why}; routing this registration to the local "
+            f"CPU backend (estimated ~{cpu_est_s:.0f} s there). Use "
+            "--device tpu to wait for the accelerator instead."
+        )
+    return "default", (
+        f"accelerator {why}; proceeding anyway"
+        + (" (--device tpu was forced)" if choice == "tpu" else
+           f" (job too large for the CPU fallback: ~{cpu_est_s:.0f} s "
+           "estimated there)")
+        + " — expect long stalls until the worker heals (typically "
+        "5-10 min after a crash, up to an hour after very large jobs)."
+    )
+
+
 def apply_device(resolved: str) -> None:
     """Apply a resolved routing decision to the process' jax config.
 

@@ -261,3 +261,53 @@ def test_cli_gate_method_flag(tmp_path, capsys):
         assert rc == 0
         outs[gm] = read_xyz(exp)
     np.testing.assert_array_equal(outs["brute"], outs["dilate"])
+
+
+def test_degraded_fallback_policy():
+    """Routing policy after a failed accelerator health probe: auto falls
+    back to CPU for CPU-tractable jobs, proceeds-with-warning otherwise;
+    forced tpu always proceeds; a healthy probe changes nothing."""
+    from simpleicp_tpu.utils.device_policy import (
+        DEGRADED_CPU_FALLBACK_MAX_S,
+        degraded_fallback,
+    )
+
+    assert degraded_fallback("auto", "ok", 100.0) == ("default", None)
+    res, msg = degraded_fallback("auto", "timeout", 100.0)
+    assert res == "cpu" and "routing" in msg
+    res, msg = degraded_fallback(
+        "auto", "timeout", DEGRADED_CPU_FALLBACK_MAX_S * 10
+    )
+    assert res == "default" and "too large" in msg
+    res, msg = degraded_fallback("tpu", "error", 1.0)
+    assert res == "default" and "forced" in msg
+
+
+def test_probe_default_backend_subprocess():
+    """The health probe runs a real subprocess (CPU here via JAX_PLATFORMS)
+    and reports its backend."""
+    from simpleicp_tpu.utils.device_policy import probe_default_backend
+
+    status, backend, dt = probe_default_backend(timeout_s=240.0)
+    assert status == "ok"
+    assert backend == "cpu"  # conftest exports JAX_PLATFORMS=cpu
+    assert dt < 240.0
+
+
+def test_cli_probe_warns_on_degraded_worker(tmp_path, capsys, monkeypatch):
+    """--device tpu + a failing probe: the CLI warns loudly and proceeds
+    (conftest pins the actual backend to CPU, so the run still completes)."""
+    from simpleicp_tpu.utils import device_policy
+
+    monkeypatch.setattr(
+        device_policy, "probe_default_backend",
+        lambda timeout_s: ("timeout", "", timeout_s),
+    )
+    rc = main([
+        "-f", "/root/reference/data/dragon1.xyz",
+        "-m", "/root/reference/data/dragon2.xyz",
+        "--device", "tpu", "--probe-timeout", "5",
+    ])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "WARNING" in err and "stalled or recovering" in err
