@@ -142,12 +142,14 @@ def main() -> int:
                            bk(Xf + jnp.float32(1e-7 * rep))))
     k_pts, k_slots, k_order, k_origin, k_rend = jax.block_until_ready(bk(Xf))
 
-    kq_j = jax.jit(functools.partial(knn_query_sorted, cell_cap=cap_knn))
+    kq_j = jax.jit(lambda Q, pts, slots, order, origin, rend: (
+        knn_query_sorted(Q, pts, slots, order, origin, jnp.float32(r_knn),
+                         10, cell_cap=cap_knn, run_end=rend)))
     med_kq, _ = timed(
         f"grid kNN query C={C} cap={cap_knn}",
         lambda rep: np.asarray(kq_j(
             Q0 + jnp.float32(1e-6 * rep), k_pts, k_slots, k_order, k_origin,
-            jnp.float32(r_knn), 10, run_end=k_rend)[0][:1]),
+            k_rend)[0][:1]),
     )
     print(f"    -> {C * 27.0 * cap_knn * 3 / med_kq:.3e} gathered elems/s",
           flush=True)

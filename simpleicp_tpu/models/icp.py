@@ -778,25 +778,67 @@ def _icp_chunk_jit(carry: _Carry, it_hi, Q, normals, planarity, sel_valid,
     )
 
 
+# Certificate margin of the grid-kNN prologue (knn_query_sorted default).
+_KNN_CERT_MARGIN = 1e-3
+
+
+def _knn_cascade_radius(d2_sample: np.ndarray, r_hi: float) -> float:
+    """Pick the round-1 radius of the cascaded grid kNN from the SAMPLED
+    k-th-NN distance distribution.
+
+    A radius sized by the sample MAX certifies ~every query in one pass but
+    pays 27*cap(r_hi) gathers per query — and cap grows ~r^3, so one distant
+    outlier (sparse region, tiled seam) inflates the cost for ALL queries
+    (measured: cap 147 vs ~tens typical at 12.5M, ~12 s of the big-C
+    headline). Instead, round 1 runs at a quantile radius r_q and only the
+    uncertified tail re-runs at r_hi; expected relative cost under the
+    density-cube cap model (cap(r) ~ r^3) is
+
+        cost(q) ~ (r_q / r_hi)^3 + fail(q)
+
+    with fail(q) estimated from the same sample. Returns the argmin radius
+    (== r_hi when a single round is already optimal, e.g. tight unimodal
+    spacing)."""
+    best_r, best_cost = r_hi, 1.0
+    for q in (0.5, 0.75, 0.9):
+        rq = 1.25 * float(np.sqrt(np.quantile(d2_sample, q)))
+        if rq <= 0.0:
+            continue
+        fail = float(np.mean(
+            d2_sample > ((1.0 - _KNN_CERT_MARGIN) * rq) ** 2
+        ))
+        cost = (rq / r_hi) ** 3 + fail
+        if cost < best_cost:
+            best_r, best_cost = rq, cost
+    return best_r
+
+
 def _knn_grid_normals(Q, Xf, cfg: IcpConfig, knn_block: int):
     """Grid-accelerated normals for a big-C chunked prologue, host-driven:
 
       1. SAMPLE the k-th-NN distance on 1024 strided queries (one bounded
-         dense program) and size the cell radius r = 1.25 * max sampled;
+         dense program); size the guaranteed radius r_hi = 1.25 * max and a
+         cheaper round-1 radius r_lo from the distribution
+         (_knn_cascade_radius);
       2. build the sorted cell list over the fixed cloud ON DEVICE and read
          back its exact max slot occupancy (the static cell_cap);
-      3. one grid-kNN program: 27-cell candidates, dense tie-break parity,
-         per-query exactness certificates (ops/gridhash.knn_query_sorted);
-      4. recompute any UNCERTIFIED rows with the dense kernel in
+      3. round 1: one grid-kNN program at r_lo — 27-cell candidates, dense
+         tie-break parity, per-query exactness certificates
+         (ops/gridhash.knn_query_sorted);
+      4. round 2 (cascade): rows round 1 could not certify re-run through a
+         SECOND grid at r_hi (builds are cheap — 0.24 s at 12.5M — and the
+         big cap is paid only for the failed tail, not all C queries);
+      5. recompute rows still uncertified with the dense kernel in
          failure-count-sized programs and patch — so the final normals are
-         bit-identical to the dense kNN for every row.
+         bit-identical to the dense kNN for every row (certified rows by
+         the certificate, patched rows by construction).
 
     Returns (normals, planarity) or (None, None) when the grid plan is
     uneconomical (degenerate radius, or a dense cluster making the
     per-query candidate cost exceed the dense-block cost) — the caller
     then falls back to dense query blocks. ~27*cap*3 gathered elements per
-    query instead of a k-maintaining sweep over all of Xf: ~2 s vs ~80 s
-    at C=1e5 x 12.5M (round-3 calibration)."""
+    query instead of a k-maintaining sweep over all of Xf: ~2-5 s vs ~80 s
+    at C=1e5 x 12.5M (round-3 calibration + profile_bigc.py)."""
     C = cfg.correspondences
     if C < 4096:
         return None, None
@@ -806,10 +848,12 @@ def _knn_grid_normals(Q, Xf, cfg: IcpConfig, knn_block: int):
     if Qs.shape[0] < 1024:
         Qs = jnp.concatenate([Qs, jnp.zeros((1024 - Qs.shape[0], 3), dtype)])
     d2_last = np.asarray(_knn_sample_radius_jit(Qs, Xf, cfg=cfg))
-    d2_max = float(np.max(d2_last[np.isfinite(d2_last)], initial=0.0))
+    d2_ok = d2_last[np.isfinite(d2_last)]
+    d2_max = float(np.max(d2_ok, initial=0.0))
     if d2_max <= 0.0:
         return None, None
-    r = 1.25 * float(np.sqrt(d2_max))
+    r_hi = 1.25 * float(np.sqrt(d2_max))
+    r = _knn_cascade_radius(d2_ok, r_hi)
 
     (sorted_pts, sorted_slots, order, origin, run_end), cap_dev = (
         _grid_build_cap_jit(Xf, jnp.asarray(r, dtype))
@@ -817,13 +861,19 @@ def _knn_grid_normals(Q, Xf, cfg: IcpConfig, knn_block: int):
     # round up to a multiple of 8: over-cap only adds masked slots, and a
     # stable cap keeps the query program's compile cache warm across runs
     cap = -(-int(cap_dev) // 8) * 8
-    # economics: candidate gathers per query vs the dense-block sweep
+    # economics: candidate gathers per query vs the dense-block sweep (the
+    # cascade's round-2 tail is priced by the cube-model cap at r_hi)
     from ..utils.device_policy import (
         TPU_GATHER_ELEMS_PER_SEC,
         TPU_KNN10_PAIRS_PER_SEC,
     )
 
-    grid_cost = C * 27.0 * cap * 3.0 / TPU_GATHER_ELEMS_PER_SEC
+    exp_fail = float(np.mean(
+        d2_ok > ((1.0 - _KNN_CERT_MARGIN) * r) ** 2
+    )) if r < r_hi else 0.0
+    cap_hi_est = cap * (r_hi / r) ** 3
+    grid_cost = (C * 27.0 * (cap + exp_fail * cap_hi_est) * 3.0
+                 / TPU_GATHER_ELEMS_PER_SEC)
     dense_cost = (float(C) * Xf.shape[0]
                   / (TPU_KNN10_PAIRS_PER_SEC * 10.0 / cfg.neighbors))
     if grid_cost > min(
@@ -836,6 +886,39 @@ def _knn_grid_normals(Q, Xf, cfg: IcpConfig, knn_block: int):
         jnp.asarray(r, dtype), cfg=cfg, cell_cap=cap,
     )
     failed = np.nonzero(~np.asarray(cert))[0]
+    nrm_h = pla_h = Q_h = None
+    if failed.size:
+        # np.array (copy): np.asarray of a jax array is READ-ONLY, and the
+        # recompute rounds patch rows in place (first tripped on TPU —
+        # CPU x64 runs certify every row, so tests need the forced-failure
+        # paths of test_chunked.py to cover this).
+        nrm_h = np.array(normals)
+        pla_h = np.array(planarity)
+        Q_h = np.asarray(Q)
+    if failed.size and r < r_hi:
+        # ---- cascade round 2: the uncertified tail at the full radius ----
+        import logging
+
+        logging.getLogger(__name__).info(
+            "grid-kNN prologue: %d/%d uncertified at r=%.4g -> regrid at "
+            "r_hi=%.4g", failed.size, C, r, r_hi,
+        )
+        (s2_pts, s2_slots, o2, org2, re2), cap2_dev = (
+            _grid_build_cap_jit(Xf, jnp.asarray(r_hi, dtype))
+        )
+        cap2 = -(-int(cap2_dev) // 8) * 8
+        blk2 = max(512, 1 << (int(failed.size) - 1).bit_length())
+        Qb = np.zeros((blk2, 3), Q_h.dtype)
+        Qb[: failed.size] = Q_h[failed]
+        nb, pb, cb = _icp_knn_grid_jit(
+            jnp.asarray(Qb), Xf, s2_pts, s2_slots, o2, org2, re2,
+            jnp.asarray(r_hi, dtype), cfg=cfg, cell_cap=cap2,
+        )
+        ok2 = np.asarray(cb)[: failed.size]
+        rows2 = failed[ok2]
+        nrm_h[rows2] = np.asarray(nb)[: failed.size][ok2]
+        pla_h[rows2] = np.asarray(pb)[: failed.size][ok2]
+        failed = failed[~ok2]
     if failed.size:
         import logging
 
@@ -843,13 +926,6 @@ def _knn_grid_normals(Q, Xf, cfg: IcpConfig, knn_block: int):
             "grid-kNN prologue: %d/%d uncertified rows -> dense recompute",
             failed.size, C,
         )
-        # np.array (copy): np.asarray of a jax array is READ-ONLY, and the
-        # dense recompute patches rows in place (first tripped on TPU —
-        # CPU x64 runs certify every row, so tests need the forced-failure
-        # path of test_chunked.py to cover this).
-        nrm_h = np.array(normals)
-        pla_h = np.array(planarity)
-        Q_h = np.asarray(Q)
         blk_cap = knn_block if knn_block > 0 else C
         for s in range(0, failed.size, blk_cap):
             rows = failed[s:s + blk_cap]
@@ -859,6 +935,7 @@ def _knn_grid_normals(Q, Xf, cfg: IcpConfig, knn_block: int):
             nb, pb = _icp_knn_block_jit(jnp.asarray(Qb), Xf, cfg=cfg)
             nrm_h[rows] = np.asarray(nb)[: rows.size]
             pla_h[rows] = np.asarray(pb)[: rows.size]
+    if nrm_h is not None:
         normals = jnp.asarray(nrm_h)
         planarity = jnp.asarray(pla_h)
     return normals, planarity
@@ -1053,19 +1130,27 @@ def icp_register(
 
     cfg = resolve_match_method(cfg, cfg.correspondences, Xm.shape[0])
 
-    # Grid matcher: resolve the static slot-occupancy cap host-side (the
-    # grid is built over the ORIGINAL movable cloud, which never moves, so
-    # the cap is exact for every iteration).
+    # Grid matcher: resolve the static slot-occupancy cap (the grid is
+    # built over the ORIGINAL movable cloud, which never moves, so the cap
+    # is exact for every iteration). Host-resident input: numpy count with
+    # dual-dtype slack (grid_cell_cap). DEVICE-resident input: bin and
+    # count on device, read back ONE scalar — np.asarray(X_mov) would fetch
+    # 3*nm floats through the tunnel, which measured as ~40 s hidden
+    # per-repeat cost in the big-C grid benchmark (the post-program
+    # degraded transfer window, profile_bigc round 3). The device count is
+    # exact for the in-program build (identical dtype arithmetic).
     if cfg.match_method == "grid" and cfg.match_cell_cap == 0:
         import dataclasses
 
-        from ..ops.gridhash import grid_cell_cap
-
         rm = cfg.match_radius if cfg.match_radius > 0 else cfg.max_overlap_distance
-        cfg = dataclasses.replace(
-            cfg,
-            match_cell_cap=grid_cell_cap(np.asarray(X_mov, np.float64), rm),
-        )
+        if isinstance(X_mov, np.ndarray):
+            from ..ops.gridhash import grid_cell_cap
+
+            cap_m = grid_cell_cap(np.asarray(X_mov, np.float64), rm)
+        else:
+            _, cap_dev = _grid_build_cap_jit(Xm, jnp.asarray(rm, dtype))
+            cap_m = -(-int(cap_dev) // 8) * 8
+        cfg = dataclasses.replace(cfg, match_cell_cap=cap_m)
 
     # Resolve the overlap-gate engine (static choice, host-side). The dense
     # sweep runs at ~1e12 distance-pairs/s on the VPU, so brute wins below
@@ -1112,21 +1197,31 @@ def icp_register(
                 )
         cap = cfg.grid_cell_cap
         if resolved == "grid" and cap == 0:
-            from ..models.solver import RigidBodyParameters
-            from ..ops.gridhash import grid_cell_cap
+            if isinstance(X_mov, np.ndarray):
+                from ..models.solver import RigidBodyParameters
+                from ..ops.gridhash import grid_cell_cap
 
-            # gate-time (initial-transformed) movable cloud, host-side
-            Xm_np = np.asarray(X_mov, np.float64)
-            if rbp_observed_values is not None and np.any(
-                np.asarray(rbp_observed_values)
-            ):
-                rbp = RigidBodyParameters()
-                rbp.set_parameter_attributes_from_list(
-                    "estimated_value", np.asarray(rbp_observed_values)
+                # gate-time (initial-transformed) movable cloud, host-side
+                Xm_np = np.asarray(X_mov, np.float64)
+                if rbp_observed_values is not None and np.any(
+                    np.asarray(rbp_observed_values)
+                ):
+                    rbp = RigidBodyParameters()
+                    rbp.set_parameter_attributes_from_list(
+                        "estimated_value", np.asarray(rbp_observed_values)
+                    )
+                    H0_np = rbp.H
+                    Xm_np = Xm_np @ H0_np[:3, :3].T + H0_np[:3, 3]
+                cap = grid_cell_cap(Xm_np, cfg.max_overlap_distance)
+            else:
+                # device-resident cloud: count on device (one-scalar
+                # readback) instead of fetching 3*nm floats through the
+                # tunnel — see the match_cell_cap note above.
+                _, cap_dev = _grid_build_cap_jit(
+                    apply_H(Xm, H0_dev.astype(dtype)),
+                    jnp.asarray(cfg.max_overlap_distance, dtype),
                 )
-                H0_np = rbp.H
-                Xm_np = Xm_np @ H0_np[:3, :3].T + H0_np[:3, 3]
-            cap = grid_cell_cap(Xm_np, cfg.max_overlap_distance)
+                cap = -(-int(cap_dev) // 8) * 8
         if resolved == "dilate":
             from ..ops.dilate_gate import overlap_mask_dilate
 

@@ -70,10 +70,12 @@ def estimate_cpu_seconds(
 TPU_SWEEP_PAIRS_PER_SEC = 2.2e11
 TPU_KNN10_PAIRS_PER_SEC = 1.5e10  # measured 1.64-1.70e10 at scale; margin
 TPU_GATHER_ELEMS_PER_SEC = 1.0e8
-# Rough device sort throughput (the grid matcher's one-time cell-list
-# build is a key+argsort over the movable cloud, in-program). Conservative;
-# the build is a prologue one-off, never per-iteration.
-TPU_SORT_ELEMS_PER_SEC = 5.0e6
+# Device sort throughput (the grid matcher's one-time cell-list build is a
+# key+argsort over the movable cloud). Measured 5.2e7 elems/s standalone at
+# 12.5M (profile_bigc.py, 2026-08-19 — the round-3 "13 s in-program" note
+# was a degraded-window artifact); half that as margin. The build is a
+# prologue one-off, never per-iteration.
+TPU_SORT_ELEMS_PER_SEC = 2.5e7
 
 
 def estimate_tpu_stage_seconds(

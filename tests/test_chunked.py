@@ -221,3 +221,70 @@ def test_grid_knn_prologue_patches_uncertified_rows(rng, caplog, monkeypatch):
     nrm_d, pla_d = _icp_knn_block_jit(Q, Xf, cfg=cfg)
     np.testing.assert_array_equal(np.asarray(normals), np.asarray(nrm_d))
     np.testing.assert_array_equal(np.asarray(planarity), np.asarray(pla_d))
+
+
+def test_knn_cascade_radius_planning():
+    """Tight unimodal spacing -> single round at r_hi; heavy-tailed spacing
+    -> a cheaper quantile radius (cap ~ r^3 makes one outlier inflate every
+    query's gather cost)."""
+    from simpleicp_tpu.models.icp import _knn_cascade_radius
+
+    tight = np.full(1024, 0.01)  # d^2 samples, all equal
+    r_hi = 1.25 * float(np.sqrt(tight.max()))
+    assert _knn_cascade_radius(tight, r_hi) == r_hi
+
+    tail = np.concatenate([np.full(1000, 0.01), np.full(24, 25.0)])
+    r_hi_t = 1.25 * float(np.sqrt(tail.max()))
+    r_lo = _knn_cascade_radius(tail, r_hi_t)
+    assert r_lo < 0.2 * r_hi_t  # picks a quantile radius near the bulk
+
+
+def test_grid_knn_prologue_cascade_round2(rng, caplog, monkeypatch):
+    """A bimodal spacing distribution that the radius sample SEES: round 1
+    runs at the quantile radius, the sparse-region queries fail its
+    certificate, and cascade round 2 (regrid at r_hi) certifies them — no
+    dense recompute, still bit-equal to the dense kernel."""
+    import logging
+
+    import jax.numpy as jnp
+
+    from simpleicp_tpu import IcpConfig
+    from simpleicp_tpu.models.icp import _icp_knn_block_jit, _knn_grid_normals
+    from simpleicp_tpu.utils import device_policy
+
+    monkeypatch.setattr(device_policy, "TPU_KNN10_PAIRS_PER_SEC", 1e7)
+
+    n_side = 180  # ~32k dense points, spacing 0.01
+    g = np.stack(np.meshgrid(np.arange(n_side), np.arange(n_side)), -1)
+    dense = np.column_stack([
+        g.reshape(-1, 2) * 0.01,
+        0.001 * np.sin(g.reshape(-1, 2).sum(1)),
+    ])
+    gs = np.stack(np.meshgrid(np.arange(40), np.arange(40)), -1)
+    sparse = np.column_stack([
+        gs.reshape(-1, 2) * 0.12 + 10.0,  # spacing 12x the dense region
+        0.01 * np.cos(gs.reshape(-1, 2).sum(1)),
+    ])
+    Xf = jnp.asarray(np.vstack([dense, sparse]))
+
+    C = 4096
+    q_idx = np.linspace(0, dense.shape[0] - 1, C).astype(int)
+    # sparse queries at sampled positions (stride 4) AND unsampled ones
+    for j in range(400):
+        q_idx[8 * j + 4] = dense.shape[0] + (j % sparse.shape[0])
+    Q = Xf[jnp.asarray(q_idx)]
+
+    cfg = IcpConfig(correspondences=C)
+    with caplog.at_level(logging.INFO, "simpleicp_tpu.models.icp"):
+        normals, planarity = _knn_grid_normals(Q, Xf, cfg, knn_block=2048)
+    assert normals is not None, "grid plan unexpectedly uneconomical"
+    msgs = [r.message for r in caplog.records]
+    assert any("regrid" in m for m in msgs), (
+        "cascade round 2 did not engage: " + "; ".join(msgs)
+    )
+    assert not any("dense recompute" in m for m in msgs), (
+        "round 2 failed to certify the tail: " + "; ".join(msgs)
+    )
+    nrm_d, pla_d = _icp_knn_block_jit(Q, Xf, cfg=cfg)
+    np.testing.assert_array_equal(np.asarray(normals), np.asarray(nrm_d))
+    np.testing.assert_array_equal(np.asarray(planarity), np.asarray(pla_d))

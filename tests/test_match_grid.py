@@ -229,3 +229,30 @@ class TestProgramBudgetGuard:
         cfg = IcpConfig(correspondences=120, program_budget_s=0.0)
         res = icp_register(X_fix, X_mov, cfg)
         assert int(res.error_code) == icp_core.ERR_OK
+
+
+def test_grid_caps_from_device_resident_clouds(rng):
+    """Device-resident (jax array) inputs resolve the grid caps ON DEVICE
+    (one-scalar readback) instead of fetching the whole cloud to the host —
+    results must be identical to host-resident inputs (any valid occupancy
+    bound gives the same matches; only the scan width differs)."""
+    import jax.numpy as jnp
+
+    from simpleicp_tpu import IcpConfig, icp_register
+
+    X_fix, X_mov = _cloud_pair(rng, n=4001)
+    for cfg in (
+        IcpConfig(correspondences=300, max_overlap_distance=0.5,
+                  match_method="grid", max_iterations=30),
+        IcpConfig(correspondences=300, max_overlap_distance=0.5,
+                  gate_method="grid", max_iterations=30),
+    ):
+        res_np = icp_register(X_fix, X_mov, cfg)
+        res_dev = icp_register(jnp.asarray(X_fix), jnp.asarray(X_mov), cfg)
+        assert int(res_np.error_code) == 0
+        np.testing.assert_array_equal(
+            np.asarray(res_np.H), np.asarray(res_dev.H)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res_np.iter_counts), np.asarray(res_dev.iter_counts)
+        )
