@@ -198,6 +198,10 @@ def main() -> int:
         "gather_min_max": [f"{min(gath_rates):.3e}", f"{max(gath_rates):.3e}"],
         "shipped_sweep": f"{dp.TPU_SWEEP_PAIRS_PER_SEC:.3e}",
         "shipped_gather": f"{dp.TPU_GATHER_ELEMS_PER_SEC:.3e}",
+        "shipped_sort": f"{dp.TPU_SORT_ELEMS_PER_SEC:.3e}",
+        "build_vs_shipped_sort": round(
+            n_target / t_build / dp.TPU_SORT_ELEMS_PER_SEC, 2
+        ),
         "sweep_vs_shipped": [
             round(r / dp.TPU_SWEEP_PAIRS_PER_SEC, 2) for r in sweep_rates
         ],
