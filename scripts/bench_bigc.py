@@ -140,6 +140,19 @@ def main() -> int:
             "converged": bool(res1.converged),
         }
 
+        print("run 4 (headline + warm start): coarse-to-fine, same config",
+              flush=True)
+        cfg_warm = IcpConfig(correspondences=C, warm_start=True)
+        res4, t4 = run_one("warm-true", X_fix, X_mov, cfg_warm, args.repeats)
+        out["runs"]["brute_chunked_true_warm"] = {
+            "seconds": round(t4, 2), "iterations": int(res4.n_iterations),
+            "H": np.asarray(res4.H).tolist(),
+            "converged": bool(res4.converged),
+            "max_H_diff_vs_cold": float(
+                np.abs(np.asarray(res4.H) - np.asarray(res1.H)).max()
+            ),
+        }
+
     print(json.dumps(out))
     if args.out:
         with open(args.out, "w") as fh:

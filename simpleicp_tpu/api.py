@@ -286,6 +286,8 @@ class SimpleICP:
         program_budget_s: float = 30.0,
         dispatch: str = "auto",
         chunk_iterations: int = 0,
+        warm_start: bool = False,
+        warm_start_points: int = 1_000_000,
         mesh=None,
         num_devices: int = 0,
     ) -> Tuple[np.ndarray, np.ndarray, RigidBodyParameters, np.ndarray]:
@@ -296,7 +298,10 @@ class SimpleICP:
         reference-family behaviors — SURVEY.md Q1/Q5/Q8); `dispatch` /
         `chunk_iterations` select the device program shape (monolithic vs
         host-chunked K-iteration programs — identical math, bounded device
-        time per program; see IcpConfig.dispatch).
+        time per program; see IcpConfig.dispatch); `warm_start` runs a
+        cheap coarse registration on subsampled clouds first and starts
+        the full-resolution run from its result (fewer expensive
+        iterations, same basin; see IcpConfig.warm_start).
 
         center: shift both clouds by the fixed cloud's centroid before the
             device pipeline and map the result back (exact, host-side f64).
@@ -358,8 +363,17 @@ class SimpleICP:
             program_budget_s=program_budget_s,
             dispatch=dispatch,
             chunk_iterations=chunk_iterations,
+            warm_start=warm_start,
+            warm_start_points=warm_start_points,
             record_trajectory=bool(debug_dirpath),
         )
+        if warm_start and (mesh is not None or num_devices):
+            raise ValueError(
+                "warm_start is not yet supported with mesh/num_devices "
+                "(the coarse pass is planned single-device); run the "
+                "coarse registration yourself and pass its parameters as "
+                "rbp_observed_values with zero weights."
+            )
 
         if cfg.overlap_enabled:
             _log.info("Consider partial overlap of point clouds ...")

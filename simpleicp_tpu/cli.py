@@ -139,6 +139,19 @@ def build_parser() -> argparse.ArgumentParser:
              "--program-budget)",
     )
     p.add_argument(
+        "--warm-start", action="store_true",
+        help="coarse-to-fine: register stride-subsampled clouds first and "
+             "start the full-resolution run from the coarse result (fewer "
+             "expensive iterations, same basin; big-correspondence runs "
+             "benefit most; incompatible with finite-weight "
+             "--observation-weights)",
+    )
+    p.add_argument(
+        "--warm-start-points", type=int, default=1_000_000,
+        help="target subsampled-cloud size of the coarse warm-start pass "
+             "(clouds at/below this size skip the coarse pass)",
+    )
+    p.add_argument(
         "--probe-timeout", type=float, default=120.0,
         help="pre-flight accelerator health probe timeout in seconds for "
              "jobs routed to the accelerator (a degraded TPU worker hangs "
@@ -254,6 +267,8 @@ def main(argv=None) -> int:
         program_budget_s=args.program_budget,
         dispatch=args.dispatch,
         chunk_iterations=args.chunk_iterations,
+        warm_start=args.warm_start,
+        warm_start_points=args.warm_start_points,
         num_devices=args.num_devices,
     )
     if args.export:

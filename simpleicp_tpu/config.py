@@ -160,6 +160,24 @@ class IcpConfig:
     # program_budget_s (host-side, utils/device_policy.py rates), or 8 when
     # no budget applies.
     chunk_iterations: int = 0
+    # Coarse-to-fine warm start (host-side planning, opt-in). When True,
+    # icp_register first registers stride-subsampled clouds (~warm_start_points
+    # points, warm_start_correspondences correspondences, exact brute match)
+    # and feeds the coarse parameter vector in as the INITIAL rbp values
+    # (the SURVEY.md Q10 initial-transform machinery, zero weights). The
+    # expensive full-resolution run then starts near the basin and spends
+    # its iterations on refinement only — at the C=1e5 x 12.5M exact
+    # headline each saved iteration is ~5.6 s of device sweep time
+    # (BENCHMARKS.md big-C notes). Same convergence basin, fewer
+    # full-resolution iterations; the reported trajectory/iteration count
+    # covers the full-resolution run. Incompatible with finite-weight rbp
+    # observations (the warm start would replace their initial values;
+    # weight=inf frozen parameters are preserved bit-for-bit).
+    warm_start: bool = False
+    # Target subsampled-cloud size and correspondence count of the coarse
+    # warm-start registration.
+    warm_start_points: int = 1_000_000
+    warm_start_correspondences: int = 1000
     # Sharded overlap-gate collective strategy (parallel/sharded.py):
     # "ring" streams movable blocks/cell-lists around the mesh with ppermute
     # (constant per-device memory, comms interleaved with compute);
@@ -204,6 +222,10 @@ class IcpConfig:
             )
         if self.chunk_iterations < 0:
             raise ValueError("chunk_iterations must be >= 0 (0 = auto)")
+        if self.warm_start_points < 100:
+            raise ValueError("warm_start_points must be >= 100")
+        if self.warm_start_correspondences < 6:
+            raise ValueError("warm_start_correspondences must be >= 6")
         if self.gate_collective not in ("ring", "allgather"):
             raise ValueError("gate_collective must be 'ring' or 'allgather'")
         if self.match_method == "grid" and self.match_radius == 0.0 and not (

@@ -1,0 +1,151 @@
+"""Coarse-to-fine warm start (models/icp.py icp_register, IcpConfig.warm_start):
+a cheap registration on stride-subsampled clouds provides the INITIAL rbp
+values for the full-resolution run (the SURVEY.md Q10 initial-transform
+machinery, zero weights). Same convergence basin, fewer full-resolution
+iterations — the lever that matters when one iteration is a ~C*nm exact
+sweep (big-correspondence configs, BENCHMARKS.md big-C notes).
+
+The reference has no warm-start analog (its per-iteration KD-tree match is
+cheap); this is a deliberate, opt-in extension (off by default — reference
+parity configs never take this path).
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from simpleicp_tpu import IcpConfig, icp_register
+
+
+def _surface(rng, n):
+    xy = rng.uniform(-2, 2, size=(n, 2))
+    z = 0.3 * np.sin(2 * xy[:, 0]) + 0.2 * np.cos(3 * xy[:, 1])
+    return np.column_stack([xy, z])
+
+
+def _known_motion():
+    a = np.array([0.02, -0.015, 0.03])
+    t = np.array([0.05, -0.04, 0.03])
+    c1, s1, c2, s2, c3, s3 = (
+        np.cos(a[0]), np.sin(a[0]), np.cos(a[1]), np.sin(a[1]),
+        np.cos(a[2]), np.sin(a[2]),
+    )
+    R = np.array(
+        [
+            [c2 * c3, -c2 * s3, s2],
+            [c1 * s3 + s1 * s2 * c3, c1 * c3 - s1 * s2 * s3, -s1 * c2],
+            [s1 * s3 - c1 * s2 * c3, s1 * c3 + c1 * s2 * s3, c1 * c2],
+        ]
+    )
+    return R, t
+
+
+def test_warm_start_same_basin_fewer_iterations(rng):
+    """Warm vs cold on a 30k-point pair with a known rigid motion: both
+    recover it, and the warm full-resolution run takes fewer iterations."""
+    X_fix = _surface(rng, 30000)
+    R, t = _known_motion()
+    X_mov = (X_fix - t) @ R
+
+    cold = icp_register(X_fix, X_mov, IcpConfig())
+    warm = icp_register(
+        X_fix, X_mov, IcpConfig(warm_start=True, warm_start_points=4000)
+    )
+    assert bool(cold.converged) and bool(warm.converged)
+    assert int(warm.n_iterations) < int(cold.n_iterations)
+    np.testing.assert_allclose(
+        np.asarray(warm.H), np.asarray(cold.H), atol=2e-4
+    )
+    np.testing.assert_allclose(np.asarray(warm.H)[:3, 3], t, atol=2e-3)
+
+
+def test_warm_start_gated(rng):
+    """The warm parameters feed the overlap gate's H0 (initial-transform-
+    before-gate, Q10) — the gated pipeline must accept and use them."""
+    X_fix = _surface(rng, 20000)
+    R, t = _known_motion()
+    X_mov = (_surface(rng, 20000) - t) @ R
+    cfg = IcpConfig(
+        max_overlap_distance=1.0, warm_start=True, warm_start_points=4000
+    )
+    res = icp_register(X_fix, X_mov, cfg)
+    assert int(res.error_code) == 0
+    np.testing.assert_allclose(np.asarray(res.H)[:3, 3], t, atol=5e-3)
+
+
+def test_warm_start_noop_below_threshold(dragon):
+    """Clouds at/below warm_start_points skip the coarse pass entirely —
+    bit-identical to the cold run (the warm fields are normalized out of
+    the jit-static config, so it is the SAME compiled program)."""
+    X_fix, X_mov = dragon
+    big = max(X_fix.shape[0], X_mov.shape[0])
+    cold = icp_register(X_fix, X_mov, IcpConfig())
+    warm = icp_register(
+        X_fix, X_mov, IcpConfig(warm_start=True, warm_start_points=big)
+    )
+    for field in cold._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(cold, field)),
+            np.asarray(getattr(warm, field)), err_msg=field,
+        )
+
+
+def test_warm_start_finite_weight_observations_raise(dragon):
+    """A finite observation weight makes the observed value part of the
+    objective; replacing it with warm values would silently change the
+    problem — must refuse."""
+    X_fix, X_mov = dragon
+    with pytest.raises(ValueError, match="warm_start"):
+        icp_register(
+            X_fix, X_mov,
+            IcpConfig(warm_start=True, warm_start_points=100),
+            rbp_observed_values=np.zeros(6),
+            rbp_observation_weights=np.array([1.0, 0, 0, 0, 0, 0]),
+        )
+
+
+def test_warm_start_frozen_parameters_preserved(rng):
+    """weight=inf (frozen) components keep the user's exact observed value
+    through the warm start; free components get warm initial values."""
+    X_fix = _surface(rng, 12000)
+    R, t = _known_motion()
+    X_mov = (X_fix - t) @ R
+    obs_vals = np.array([0.01, 0.0, 0.0, 0.0, 0.0, 0.0])
+    obs_w = np.array([np.inf, 0.0, 0.0, 0.0, 0.0, 0.0])
+    res = icp_register(
+        X_fix, X_mov,
+        IcpConfig(warm_start=True, warm_start_points=3000),
+        rbp_observed_values=obs_vals, rbp_observation_weights=obs_w,
+    )
+    assert int(res.error_code) == 0
+    assert float(np.asarray(res.p)[0]) == 0.01
+
+
+def test_warm_start_chunked_dispatch(rng):
+    """warm_start composes with chunked dispatch (the big-C production
+    shape): same basin as the cold monolithic run."""
+    X_fix = _surface(rng, 15000)
+    R, t = _known_motion()
+    X_mov = (X_fix - t) @ R
+    cfg = IcpConfig(warm_start=True, warm_start_points=3000)
+    warm = icp_register(
+        X_fix, X_mov,
+        dataclasses.replace(cfg, dispatch="chunked", chunk_iterations=2),
+    )
+    cold = icp_register(X_fix, X_mov, IcpConfig())
+    assert bool(warm.converged)
+    np.testing.assert_allclose(
+        np.asarray(warm.H), np.asarray(cold.H), atol=2e-4
+    )
+
+
+def test_warm_start_cli_flag():
+    from simpleicp_tpu.cli import build_parser
+
+    args = build_parser().parse_args(
+        ["-f", "a.xyz", "-m", "b.xyz", "--warm-start"]
+    )
+    assert args.warm_start is True
+    args = build_parser().parse_args(["-f", "a.xyz", "-m", "b.xyz"])
+    assert args.warm_start is False
