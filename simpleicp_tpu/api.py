@@ -367,13 +367,6 @@ class SimpleICP:
             warm_start_points=warm_start_points,
             record_trajectory=bool(debug_dirpath),
         )
-        if warm_start and (mesh is not None or num_devices):
-            raise ValueError(
-                "warm_start is not yet supported with mesh/num_devices "
-                "(the coarse pass is planned single-device); run the "
-                "coarse registration yourself and pass its parameters as "
-                "rbp_observed_values with zero weights."
-            )
 
         if cfg.overlap_enabled:
             _log.info("Consider partial overlap of point clouds ...")

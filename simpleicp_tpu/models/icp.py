@@ -1072,6 +1072,102 @@ def resolve_match_method(cfg: IcpConfig, n_queries: int, n_mov: int) -> IcpConfi
     )
 
 
+def plan_warm_start(
+    X_fix,
+    X_mov,
+    cfg: IcpConfig,
+    *,
+    rbp_observed_values=None,
+    rbp_observation_weights=None,
+    normals_fix=None,
+    planarity_fix=None,
+    planarity_mov=None,
+    dtype=None,
+):
+    """Coarse-to-fine warm start (host-side planning; opt-in), shared by the
+    single-chip and sharded drivers.
+
+    A big-correspondence exact registration pays a ~C*nm pair sweep per
+    iteration, and most iterations just walk H toward the basin. A cheap
+    coarse registration on stride-subsampled clouds (same geometry) lands
+    H near the optimum first, so the expensive run spends iterations on
+    refinement only. The coarse parameter vector feeds the existing
+    initial-values machinery (obs_vals with zero weights, SURVEY.md Q10),
+    so it also sharpens the overlap gate's H0. The reference has no
+    analog (its KD-tree match is cheap per iteration; our per-iteration
+    cost at C=1e5 x 12.5M is ~5.6 s of exact sweep — BENCHMARKS.md).
+
+    Returns (cfg with warm_start cleared, possibly-updated
+    rbp_observed_values). The coarse pass runs single-device; clouds
+    at/below warm_start_points skip it entirely.
+    """
+    import dataclasses as _dc
+    import logging as _logging
+
+    w_np = (np.zeros(6) if rbp_observation_weights is None
+            else np.asarray(rbp_observation_weights, np.float64))
+    if np.any((w_np > 0) & np.isfinite(w_np)):
+        raise ValueError(
+            "warm_start cannot be combined with finite-weight rbp "
+            "observations: the warm start replaces the parameters' "
+            "INITIAL values, and a finite observation weight makes the "
+            "observed value part of the objective. Freeze parameters "
+            "with weight=inf, or disable warm_start."
+        )
+    cfg = _dc.replace(cfg, warm_start=False)
+    # Slicing keeps a host-origin (numpy) cloud host-origin for the coarse
+    # run's gate planning; device arrays slice on device.
+    Xf_s = X_fix if hasattr(X_fix, "shape") else np.asarray(X_fix)
+    Xm_s = X_mov if hasattr(X_mov, "shape") else np.asarray(X_mov)
+    n_ws = cfg.warm_start_points
+    if max(Xf_s.shape[0], Xm_s.shape[0]) <= n_ws:
+        return cfg, rbp_observed_values
+    sf = -(-Xf_s.shape[0] // n_ws)
+    sm = -(-Xm_s.shape[0] // n_ws)
+    ws_cfg = _dc.replace(
+        cfg,
+        correspondences=min(
+            cfg.correspondences, cfg.warm_start_correspondences
+        ),
+        # Exact brute match with no radius cap: the subsampled cloud's NN
+        # spacing is ~s^(1/3) larger, so a match_radius tuned to the full
+        # cloud could starve the coarse matches.
+        match_method="brute", match_radius=0.0, match_cell_cap=0,
+        ref_tile=0, grid_cell_cap=0, gate_method="auto",
+    )
+    res_ws = icp_register(
+        Xf_s[::sf], Xm_s[::sm], ws_cfg,
+        rbp_observed_values=rbp_observed_values,
+        rbp_observation_weights=rbp_observation_weights,
+        normals_fix=(None if normals_fix is None
+                     else np.asarray(normals_fix)[::sf]),
+        planarity_fix=(None if planarity_fix is None
+                       else np.asarray(planarity_fix)[::sf]),
+        planarity_mov=(None if planarity_mov is None
+                       else np.asarray(planarity_mov)[::sm]),
+        dtype=dtype,
+    )
+    log = _logging.getLogger(__name__)
+    if int(res_ws.error_code) == 0:
+        obs_np = (np.zeros(6) if rbp_observed_values is None
+                  else np.asarray(rbp_observed_values, np.float64))
+        p_ws = np.asarray(res_ws.p, np.float64)
+        # weight=inf (frozen) components keep the user's exact values
+        rbp_observed_values = np.where(np.isinf(w_np), obs_np, p_ws)
+        log.info(
+            "warm start: coarse registration on %d x %d subsampled "
+            "points, %d iterations, converged=%s",
+            -(-Xf_s.shape[0] // sf), -(-Xm_s.shape[0] // sm),
+            int(res_ws.n_iterations), bool(res_ws.converged),
+        )
+    else:
+        log.warning(
+            "warm start: coarse registration failed with error "
+            "code %d — starting cold", int(res_ws.error_code)
+        )
+    return cfg, rbp_observed_values
+
+
 def icp_register(
     X_fix,
     X_mov,
@@ -1116,81 +1212,14 @@ def icp_register(
     if Xf.ndim != 2 or Xf.shape[1] != 3 or Xm.ndim != 2 or Xm.shape[1] != 3:
         raise ValueError("point clouds must have shape (n, 3)")
 
-    # ---- Coarse-to-fine warm start (host-side planning; opt-in) ----
-    # A big-correspondence exact registration pays a ~C*nm pair sweep per
-    # iteration, and most iterations just walk H toward the basin. A cheap
-    # coarse registration on stride-subsampled clouds (same geometry) lands
-    # H near the optimum first, so the expensive run spends iterations on
-    # refinement only. The coarse parameter vector feeds the existing
-    # initial-values machinery (obs_vals with zero weights, SURVEY.md Q10),
-    # so it also sharpens the overlap gate's H0. The reference has no
-    # analog (its KD-tree match is cheap per iteration; our per-iteration
-    # cost at C=1e5 x 12.5M is ~5.6 s of exact sweep — BENCHMARKS.md).
     if cfg.warm_start:
-        import dataclasses as _dc
-        import logging as _logging
-
-        w_np = (np.zeros(6) if rbp_observation_weights is None
-                else np.asarray(rbp_observation_weights, np.float64))
-        if np.any((w_np > 0) & np.isfinite(w_np)):
-            raise ValueError(
-                "warm_start cannot be combined with finite-weight rbp "
-                "observations: the warm start replaces the parameters' "
-                "INITIAL values, and a finite observation weight makes the "
-                "observed value part of the objective. Freeze parameters "
-                "with weight=inf, or disable warm_start."
-            )
-        cfg = _dc.replace(cfg, warm_start=False)
-        n_ws = cfg.warm_start_points
-        if max(Xf.shape[0], Xm.shape[0]) > n_ws:
-            sf = -(-Xf.shape[0] // n_ws)
-            sm = -(-Xm.shape[0] // n_ws)
-            # Slice the ORIGINAL inputs so a host-origin (numpy) cloud stays
-            # host-origin for the coarse run's gate planning.
-            Xf_s = X_fix[::sf] if isinstance(X_fix, np.ndarray) else Xf[::sf]
-            Xm_s = X_mov[::sm] if isinstance(X_mov, np.ndarray) else Xm[::sm]
-            ws_cfg = _dc.replace(
-                cfg,
-                correspondences=min(
-                    cfg.correspondences, cfg.warm_start_correspondences
-                ),
-                # Exact brute match with no radius cap: the subsampled
-                # cloud's NN spacing is ~s^(1/3) larger, so a match_radius
-                # tuned to the full cloud could starve the coarse matches.
-                match_method="brute", match_radius=0.0, match_cell_cap=0,
-                ref_tile=0, grid_cell_cap=0, gate_method="auto",
-            )
-            res_ws = icp_register(
-                Xf_s, Xm_s, ws_cfg,
-                rbp_observed_values=rbp_observed_values,
-                rbp_observation_weights=rbp_observation_weights,
-                normals_fix=(None if normals_fix is None
-                             else np.asarray(normals_fix)[::sf]),
-                planarity_fix=(None if planarity_fix is None
-                               else np.asarray(planarity_fix)[::sf]),
-                planarity_mov=(None if planarity_mov is None
-                               else np.asarray(planarity_mov)[::sm]),
-                dtype=dtype,
-            )
-            log = _logging.getLogger(__name__)
-            if int(res_ws.error_code) == 0:
-                obs_np = (np.zeros(6) if rbp_observed_values is None
-                          else np.asarray(rbp_observed_values, np.float64))
-                p_ws = np.asarray(res_ws.p, np.float64)
-                # weight=inf (frozen) components keep the user's exact values
-                rbp_observed_values = np.where(np.isinf(w_np), obs_np, p_ws)
-                log.info(
-                    "warm start: coarse registration on %d x %d subsampled "
-                    "points, %d iterations, converged=%s",
-                    Xf.shape[0] // sf + (Xf.shape[0] % sf > 0),
-                    Xm.shape[0] // sm + (Xm.shape[0] % sm > 0),
-                    int(res_ws.n_iterations), bool(res_ws.converged),
-                )
-            else:
-                log.warning(
-                    "warm start: coarse registration failed with error "
-                    "code %d — starting cold", int(res_ws.error_code)
-                )
+        cfg, rbp_observed_values = plan_warm_start(
+            X_fix, X_mov, cfg,
+            rbp_observed_values=rbp_observed_values,
+            rbp_observation_weights=rbp_observation_weights,
+            normals_fix=normals_fix, planarity_fix=planarity_fix,
+            planarity_mov=planarity_mov, dtype=dtype,
+        )
 
     # Auto-scale the reference tile to the movable-cloud size (static,
     # host-side; ref_tile=0 is the "auto" sentinel so an explicit 4096 is

@@ -742,6 +742,28 @@ def icp_register_sharded(
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     np_dtype = np.dtype(dtype.dtype if hasattr(dtype, "dtype") else dtype)
 
+    # Coarse-to-fine warm start: the coarse pass runs single-device on
+    # stride-subsampled clouds (models/icp.py plan_warm_start), its result
+    # feeding the initial rbp values — which also sharpen the gate's H0
+    # below. Single-process only: under multi-host each process holds only
+    # its shard, so no process could run the coarse registration alone.
+    if cfg.warm_start:
+        if jax.process_count() > 1:
+            raise ValueError(
+                "warm_start is not supported multi-host (no process holds "
+                "the whole cloud for the coarse pass); pass a coarse "
+                "result as rbp_observed_values with zero weights instead."
+            )
+        from ..models.icp import plan_warm_start
+
+        cfg, rbp_observed_values = plan_warm_start(
+            X_fix, X_mov, cfg,
+            rbp_observed_values=rbp_observed_values,
+            rbp_observation_weights=rbp_observation_weights,
+            normals_fix=normals_fix, planarity_fix=planarity_fix,
+            planarity_mov=planarity_mov, dtype=dtype,
+        )
+
     # Overlap-gate engine resolution, mirroring models.icp.icp_register:
     # dense ring below ~1e12 pairs; past that the dilated-occupancy gate
     # (computed once up front on the unsharded clouds — single-process
@@ -950,7 +972,10 @@ def icp_register_sharded(
             chunk_k = 8
     # dispatch fields never reach the trace; normalize them out of the
     # jit-static cfg so plan changes don't recompile identical programs
-    run_cfg = dataclasses.replace(cfg, dispatch="auto", chunk_iterations=0)
+    run_cfg = dataclasses.replace(
+        cfg, dispatch="auto", chunk_iterations=0, warm_start=False,
+        warm_start_points=1_000_000, warm_start_correspondences=1000,
+    )
 
     shard1 = NamedSharding(mesh, P(axis))
     shard2 = NamedSharding(mesh, P(axis, None))

@@ -140,6 +140,27 @@ def test_warm_start_chunked_dispatch(rng):
     )
 
 
+def test_warm_start_sharded(rng):
+    """The sharded driver shares plan_warm_start (coarse pass single-device,
+    warm values feed the sharded gate's H0): same basin as serial cold."""
+    from simpleicp_tpu.parallel.mesh import make_mesh
+    from simpleicp_tpu.parallel.sharded import icp_register_sharded
+
+    X_fix = _surface(rng, 12000)
+    R, t = _known_motion()
+    X_mov = (X_fix - t) @ R
+    warm = icp_register_sharded(
+        X_fix, X_mov,
+        IcpConfig(warm_start=True, warm_start_points=3000),
+        mesh=make_mesh(4),
+    )
+    cold = icp_register(X_fix, X_mov, IcpConfig())
+    assert int(warm.error_code) == 0
+    np.testing.assert_allclose(
+        np.asarray(warm.H), np.asarray(cold.H), atol=2e-4
+    )
+
+
 def test_warm_start_cli_flag():
     from simpleicp_tpu.cli import build_parser
 
