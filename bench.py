@@ -125,6 +125,11 @@ def main():
     value = float(np.median(times))
     assert int(res.error_code) == 0 and bool(res.converged)
 
+    # Median of 9 plus spread: the driver parses the required four fields;
+    # min/max/n make a single lucky sample impossible to quote as the
+    # headline (round-3 verdict: a best-of-jitter 35.5 ms drifted into the
+    # docs while the captured median was 44 ms — the spread keeps everyone
+    # honest).
     print(
         json.dumps(
             {
@@ -132,6 +137,9 @@ def main():
                 "value": round(value, 4),
                 "unit": "s",
                 "vs_baseline": round(BASELINE_BEST_S / value, 3),
+                "n_repeats": len(times),
+                "min": round(float(np.min(times)), 4),
+                "max": round(float(np.max(times)), 4),
             }
         )
     )

@@ -38,6 +38,10 @@ def _median_time(fn, make_input, repeats):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument(
+        "--probe-timeout", type=float, default=120.0,
+        help="per-row health-probe timeout (0 disables probing)",
+    )
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -50,6 +54,22 @@ def main() -> int:
     rng = np.random.default_rng(0)
     out = {"backend": jax.default_backend(), "sweep": [], "gather": []}
 
+    def probe_row(label: str) -> dict:
+        """Fresh-shape subprocess probe BEFORE each measurement row: a
+        degraded worker (post-crash recovery / post-big-job stall) runs
+        cached programs at full speed while fresh compiles+transfers hang
+        or crawl ~100x slow — a rate measured inside such a window is
+        garbage that must never be shipped (round-3 verdict: a 38.9 s
+        degraded grid-build row sat next to the 0.24 s healthy rate with
+        no flag, a 78x ambiguity in the recorded calibration)."""
+        if args.probe_timeout <= 0:
+            return {"status": "skipped", "seconds": 0.0, "healthy": True}
+        status, _backend, secs = dp.probe_default_backend(args.probe_timeout)
+        rec = {"status": status, "seconds": round(secs, 2),
+               "healthy": status == "ok"}
+        print(f"probe[{label}]: {status} in {secs:.1f} s", flush=True)
+        return rec
+
     # ---- dense sweep rate: the in-loop brute matcher shape (C queries vs
     # nm refs), three decades of pair counts ----
     sweep_shapes = [
@@ -59,6 +79,7 @@ def main() -> int:
     ]
     sweep = jax.jit(nn_search, static_argnames=("ref_tile", "query_tile"))
     for C, nm, rt in sweep_shapes:
+        probe = probe_row(f"sweep C={C}")
         Q0 = rng.standard_normal((C, 3)).astype(np.float32)
         R0 = rng.standard_normal((nm, 3)).astype(np.float32)
         Qd = jax.device_put(jnp.asarray(Q0))
@@ -77,6 +98,7 @@ def main() -> int:
         out["sweep"].append({
             "C": C, "nm": nm, "seconds": round(t, 4),
             "pairs_per_s": f"{rate:.3e}",
+            "probe": probe, "healthy": probe["healthy"],
         })
         print(f"sweep C={C} nm={nm}: {t:.3f} s -> {rate:.3e} pairs/s",
               flush=True)
@@ -94,6 +116,7 @@ def main() -> int:
     knn = jax.jit(knn_search, static_argnames=("k", "ref_tile", "query_tile"))
     out["knn"] = []
     for C, nf, rt in knn_shapes:
+        probe = probe_row(f"knn10 C={C}")
         Q0 = rng.standard_normal((C, 3)).astype(np.float32)
         R0 = rng.standard_normal((nf, 3)).astype(np.float32)
         Qd = jax.device_put(jnp.asarray(Q0))
@@ -111,6 +134,7 @@ def main() -> int:
         out["knn"].append({
             "C": C, "nf": nf, "seconds": round(t, 4),
             "pairs_per_s": f"{rate:.3e}",
+            "probe": probe, "healthy": probe["healthy"],
         })
         print(f"knn10 C={C} nf={nf}: {t:.3f} s -> {rate:.3e} pairs/s",
               flush=True)
@@ -123,6 +147,7 @@ def main() -> int:
     ]
     gat = jax.jit(lambda tbl, idx: tbl[idx].sum())
     for n_elems, n_tbl in gather_shapes:
+        probe = probe_row(f"gather {n_elems:.0e}")
         tbl = jax.device_put(
             jnp.asarray(rng.standard_normal(n_tbl).astype(np.float32))
         )
@@ -137,6 +162,7 @@ def main() -> int:
         out["gather"].append({
             "n_elems": n_elems, "seconds": round(t, 4),
             "elems_per_s": f"{rate:.3e}",
+            "probe": probe, "healthy": probe["healthy"],
         })
         print(f"gather {n_elems:.0e} elems: {t:.3f} s -> {rate:.3e} "
               "elems/s", flush=True)
@@ -154,6 +180,7 @@ def main() -> int:
     )
     from simpleicp_tpu.utils.xyz_io import read_xyz
 
+    probe_grid = probe_row("grid_query")
     X1 = read_xyz("/root/reference/data/dragon1.xyz").astype(np.float32)
     ext = float(X1[:, 0].max() - X1[:, 0].min())
     n_target, radius = 12_500_000, 0.05
@@ -182,6 +209,7 @@ def main() -> int:
     )
     gelems = 100_000 * 27.0 * cap * 3.0
     out["grid_query"] = {
+        "probe": probe_grid, "healthy": probe_grid["healthy"],
         "cap": int(cap), "build_seconds": round(t_build, 3),
         "query_seconds": round(t_q, 4),
         "effective_gather_elems_per_s": f"{gelems / t_q:.3e}",
@@ -191,11 +219,32 @@ def main() -> int:
           f"{t_q:.3f} s -> effective {gelems / t_q:.3e} gathered elems/s",
           flush=True)
 
-    sweep_rates = [float(r["pairs_per_s"]) for r in out["sweep"]]
-    gath_rates = [float(r["elems_per_s"]) for r in out["gather"]]
+    sweep_rates = [float(r["pairs_per_s"]) for r in out["sweep"]
+                   if r["healthy"]]
+    gath_rates = [float(r["elems_per_s"]) for r in out["gather"]
+                  if r["healthy"]]
+    knn_rates = [float(r["pairs_per_s"]) for r in out["knn"] if r["healthy"]]
+    n_unhealthy = sum(
+        1 for sec in ("sweep", "knn", "gather") for r in out[sec]
+        if not r["healthy"]
+    ) + (0 if out["grid_query"]["healthy"] else 1)
+    if not (sweep_rates and gath_rates and knn_rates
+            and out["grid_query"]["healthy"]):
+        print("calibrate_guard: too many unhealthy rows — artifact "
+              "INCOMPLETE, do not ship constants from it", file=sys.stderr)
     out["summary"] = {
-        "sweep_min_max": [f"{min(sweep_rates):.3e}", f"{max(sweep_rates):.3e}"],
-        "gather_min_max": [f"{min(gath_rates):.3e}", f"{max(gath_rates):.3e}"],
+        "healthy_rows_only": True,
+        "unhealthy_row_count": n_unhealthy,
+        "knn_min_max": ([f"{min(knn_rates):.3e}", f"{max(knn_rates):.3e}"]
+                        if knn_rates else []),
+        "shipped_knn10": f"{dp.TPU_KNN10_PAIRS_PER_SEC:.3e}",
+        "knn_vs_shipped": [
+            round(r / dp.TPU_KNN10_PAIRS_PER_SEC, 2) for r in knn_rates
+        ],
+        "sweep_min_max": ([f"{min(sweep_rates):.3e}",
+                           f"{max(sweep_rates):.3e}"] if sweep_rates else []),
+        "gather_min_max": ([f"{min(gath_rates):.3e}",
+                            f"{max(gath_rates):.3e}"] if gath_rates else []),
         "shipped_sweep": f"{dp.TPU_SWEEP_PAIRS_PER_SEC:.3e}",
         "shipped_gather": f"{dp.TPU_GATHER_ELEMS_PER_SEC:.3e}",
         "shipped_sort": f"{dp.TPU_SORT_ELEMS_PER_SEC:.3e}",

@@ -50,6 +50,28 @@ try:
         "SIMPLEICP_TPU_CACHE", _os.path.expanduser("~/.cache/simpleicp_tpu/jax")
     )
     if _cache_dir:
+        # Scope the cache by a host-CPU fingerprint: XLA:CPU entries embed
+        # AOT-compiled code keyed to the compiling host's machine features,
+        # and the loader only warns ("machine feature +prefer-no-gather is
+        # not supported ... could lead to SIGILL") when a mismatched entry
+        # is served to a different host. Keying the directory by CPU
+        # model+flags makes cross-host entries unreachable. TPU entries are
+        # host-independent; re-keying them costs one recompile per new
+        # host, which the remote-compile cache amortizes anyway.
+        try:
+            import hashlib as _hashlib
+
+            with open("/proc/cpuinfo", "rb") as _f:
+                _info = _f.read()
+            _finger = _hashlib.sha256(
+                b"\n".join(
+                    ln for ln in _info.splitlines()
+                    if ln.startswith((b"model name", b"flags"))
+                )
+            ).hexdigest()[:12]
+            _cache_dir = _os.path.join(_cache_dir, f"host-{_finger}")
+        except OSError:  # pragma: no cover - non-Linux: unscoped dir
+            pass
         _os.makedirs(_cache_dir, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

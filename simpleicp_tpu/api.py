@@ -288,6 +288,7 @@ class SimpleICP:
         chunk_iterations: int = 0,
         warm_start: bool = False,
         warm_start_points: int = 1_000_000,
+        warm_start_correspondences: int = 1000,
         mesh=None,
         num_devices: int = 0,
     ) -> Tuple[np.ndarray, np.ndarray, RigidBodyParameters, np.ndarray]:
@@ -365,6 +366,7 @@ class SimpleICP:
             chunk_iterations=chunk_iterations,
             warm_start=warm_start,
             warm_start_points=warm_start_points,
+            warm_start_correspondences=warm_start_correspondences,
             record_trajectory=bool(debug_dirpath),
         )
 
@@ -409,6 +411,25 @@ class SimpleICP:
             )
         else:
             register = icp_core.icp_register
+            # Upload staging (round-3 BENCHMARKS "Upload stall"): transfers
+            # that follow a program execution run far below the cold rate
+            # (23.6 s/cloud at 50M vs ~2-4 s cold; runtime/tunnel artifact,
+            # all app-side mitigations A/B'd to failure). Stage BOTH clouds
+            # onto the device BEFORE the first dispatch — in particular
+            # before a warm start's coarse programs — so every big transfer
+            # rides the cold window. jnp.asarray inside icp_register is
+            # then a no-op (same dtype, already committed).
+            import jax as _jax
+            import jax.numpy as _jnp
+
+            if _jax.default_backend() != "cpu":
+                _dt = (_jnp.float64 if _jax.config.jax_enable_x64
+                       else _jnp.float32)
+                Xf_run, Xm_run = _jax.block_until_ready(
+                    _jax.device_put(
+                        (np.asarray(Xf_run, _dt), np.asarray(Xm_run, _dt))
+                    )
+                )
         result = register(
             Xf_run,
             Xm_run,

@@ -152,6 +152,11 @@ def build_parser() -> argparse.ArgumentParser:
              "(clouds at/below this size skip the coarse pass)",
     )
     p.add_argument(
+        "--warm-start-correspondences", type=int, default=1000,
+        help="correspondence count of the coarse warm-start pass (capped "
+             "at --correspondences)",
+    )
+    p.add_argument(
         "--probe-timeout", type=float, default=120.0,
         help="pre-flight accelerator health probe timeout in seconds for "
              "jobs routed to the accelerator (a degraded TPU worker hangs "
@@ -269,6 +274,7 @@ def main(argv=None) -> int:
         chunk_iterations=args.chunk_iterations,
         warm_start=args.warm_start,
         warm_start_points=args.warm_start_points,
+        warm_start_correspondences=args.warm_start_correspondences,
         num_devices=args.num_devices,
     )
     if args.export:

@@ -178,6 +178,17 @@ class IcpConfig:
     # warm-start registration.
     warm_start_points: int = 1_000_000
     warm_start_correspondences: int = 1000
+    # Scale of the absolute convergence noise floor (SURVEY.md §2.9 Q13):
+    # a mean/std change of <= convergence_floor_scale * eps(dtype) * max|Q|
+    # between iterations also counts as converged, in addition to the
+    # reference's purely relative min_change criterion. In f32 the relative
+    # criterion stalls on rounding jitter once the signal drops below
+    # ~eps*|coords| (dragon f32: 41 iterations vs 7); in f64 the floor is
+    # ~1e-14*|coords| and never fires, so reference semantics are exact on
+    # the parity path. 0.0 disables the floor (pure reference criterion —
+    # the Q13 parity tests pin that f64 results are bit-identical either
+    # way).
+    convergence_floor_scale: float = 32.0
     # Sharded overlap-gate collective strategy (parallel/sharded.py):
     # "ring" streams movable blocks/cell-lists around the mesh with ppermute
     # (constant per-device memory, comms interleaved with compute);
@@ -228,6 +239,10 @@ class IcpConfig:
             raise ValueError("warm_start_correspondences must be >= 6")
         if self.gate_collective not in ("ring", "allgather"):
             raise ValueError("gate_collective must be 'ring' or 'allgather'")
+        if self.convergence_floor_scale < 0:
+            raise ValueError(
+                "convergence_floor_scale must be >= 0 (0 disables the floor)"
+            )
         if self.match_method == "grid" and self.match_radius == 0.0 and not (
             math.isfinite(self.max_overlap_distance)
             and self.max_overlap_distance > 0

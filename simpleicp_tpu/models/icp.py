@@ -43,6 +43,22 @@ ERR_OK = 0
 ERR_NO_OVERLAP = 1
 ERR_TOO_FEW_CORRESPONDENCES = 2
 
+# Cached device constants for the dispatch path's dummy/zero arguments.
+# Every jnp.zeros call dispatches a tiny XLA program on the default device;
+# through the tunnel each enqueue adds milliseconds of latency to a ~50 ms
+# small-dataset registration (round-4 small-path audit). The arrays are
+# immutable and never donated, so one per (shape, dtype, backend) serves
+# every registration in the process.
+_zeros_cache: dict = {}
+
+
+def _zeros_const(shape, dtype):
+    key = (shape, jnp.dtype(dtype).name, jax.default_backend())
+    arr = _zeros_cache.get(key)
+    if arr is None:
+        arr = _zeros_cache[key] = jnp.zeros(shape, dtype)
+    return arr
+
 
 class IcpResult(NamedTuple):
     """Raw (device-array) result of one registration run."""
@@ -325,7 +341,10 @@ def run_icp_loop(Q, normals, planarity, sel_valid, obs_vals, obs_w,
     # 7 in f64). Changes at or below the floor count as converged. In f64 the
     # floor is ~1e-14 * |coords| and never fires, preserving exact reference
     # semantics (/root/reference/python/simpleicp/simpleicp.py:355-379).
-    noise_floor = 32.0 * jnp.finfo(dtype).eps * jnp.max(jnp.abs(Q))
+    noise_floor = (
+        cfg.convergence_floor_scale * jnp.finfo(dtype).eps
+        * jnp.max(jnp.abs(Q))
+    )
 
     def crit_met(new, old):
         return (pct_change(new, old) < cfg.min_change) | (
@@ -1124,6 +1143,17 @@ def plan_warm_start(
         return cfg, rbp_observed_values
     sf = -(-Xf_s.shape[0] // n_ws)
     sm = -(-Xm_s.shape[0] // n_ws)
+    # Subsampled NN spacing grows with the stride — ~s^(1/2) for surface
+    # (LiDAR-like) data, ~s^(1/3) volumetric — so a gate radius tuned to
+    # full-resolution spacing would starve the coarse overlap gate
+    # (ERR_NO_OVERLAP at exactly the scales warm_start targets). Widen by
+    # the surface-law factor: over-widening merely admits a few extra
+    # coarse pairs (the seed's cost is negligible either way);
+    # under-widening degrades warm_start to a logged cold fallback.
+    spacing_factor = float(max(sf, sm)) ** 0.5
+    mod_ws = cfg.max_overlap_distance
+    if np.isfinite(mod_ws) and mod_ws > 0:
+        mod_ws = mod_ws * spacing_factor
     ws_cfg = _dc.replace(
         cfg,
         correspondences=min(
@@ -1134,21 +1164,31 @@ def plan_warm_start(
         # cloud could starve the coarse matches.
         match_method="brute", match_radius=0.0, match_cell_cap=0,
         ref_tile=0, grid_cell_cap=0, gate_method="auto",
+        max_overlap_distance=mod_ws,
     )
     res_ws = icp_register(
         Xf_s[::sf], Xm_s[::sm], ws_cfg,
         rbp_observed_values=rbp_observed_values,
         rbp_observation_weights=rbp_observation_weights,
+        # Slice array-likes directly (device arrays stay on device — an
+        # np.asarray here would be a hidden full device->host fetch at
+        # exactly the 10M+-point scales warm_start targets); only coerce
+        # list-like inputs.
         normals_fix=(None if normals_fix is None
-                     else np.asarray(normals_fix)[::sf]),
+                     else (normals_fix if hasattr(normals_fix, "shape")
+                           else np.asarray(normals_fix))[::sf]),
         planarity_fix=(None if planarity_fix is None
-                       else np.asarray(planarity_fix)[::sf]),
+                       else (planarity_fix
+                             if hasattr(planarity_fix, "shape")
+                             else np.asarray(planarity_fix))[::sf]),
         planarity_mov=(None if planarity_mov is None
-                       else np.asarray(planarity_mov)[::sm]),
+                       else (planarity_mov
+                             if hasattr(planarity_mov, "shape")
+                             else np.asarray(planarity_mov))[::sm]),
         dtype=dtype,
     )
     log = _logging.getLogger(__name__)
-    if int(res_ws.error_code) == 0:
+    if int(res_ws.error_code) == 0 and bool(res_ws.converged):
         obs_np = (np.zeros(6) if rbp_observed_values is None
                   else np.asarray(rbp_observed_values, np.float64))
         p_ws = np.asarray(res_ws.p, np.float64)
@@ -1156,9 +1196,17 @@ def plan_warm_start(
         rbp_observed_values = np.where(np.isinf(w_np), obs_np, p_ws)
         log.info(
             "warm start: coarse registration on %d x %d subsampled "
-            "points, %d iterations, converged=%s",
+            "points, %d iterations, converged=True",
             -(-Xf_s.shape[0] // sf), -(-Xm_s.shape[0] // sm),
-            int(res_ws.n_iterations), bool(res_ws.converged),
+            int(res_ws.n_iterations),
+        )
+    elif int(res_ws.error_code) == 0:
+        # A coarse pass that hit max_iterations while still drifting can
+        # seed the full-resolution run FARTHER from the basin than a cold
+        # start — adopt only converged seeds.
+        log.warning(
+            "warm start: coarse registration did not converge in %d "
+            "iterations — starting cold", int(res_ws.n_iterations)
         )
     else:
         log.warning(
@@ -1269,9 +1317,22 @@ def icp_register(
     if cfg.overlap_enabled:
         from ..ops.transform import rbp_to_H as _rbp_to_H
 
-        obs_host = (jnp.zeros(6, dtype) if rbp_observed_values is None
-                    else jnp.asarray(rbp_observed_values, dtype))
-        H0_dev = _rbp_to_H(obs_host)
+        # H0 for gate PLANNING, computed lazily: only the big-cloud paths
+        # (dilate bbox, device-side grid cap, dilate mask) consume it. The
+        # brute gate — every small dataset — must not pay an extra device
+        # program per run: each tiny dispatch through the test tunnel costs
+        # milliseconds of latency on a ~50 ms job (round-4 small-path
+        # audit). The in-program Q10 gate H0 is built inside _icp_run.
+        _H0_cache = []
+
+        def H0_dev_fn():
+            if not _H0_cache:
+                obs_host = (
+                    _zeros_const((6,), dtype) if rbp_observed_values is None
+                    else jnp.asarray(rbp_observed_values, dtype)
+                )
+                _H0_cache.append(_rbp_to_H(obs_host))
+            return _H0_cache[0]
 
         resolved = cfg.gate_method
         plan = None
@@ -1283,7 +1344,7 @@ def icp_register(
             )
             if want:
                 # bbox on device: planning never fetches full clouds
-                lo, hi = bbox_of(Xf, Xm, H0_dev)
+                lo, hi = bbox_of(Xf, Xm, H0_dev_fn())
                 plan = plan_dilate_gate(
                     None, None, cfg.max_overlap_distance,
                     bbox=(np.asarray(lo), np.asarray(hi)),
@@ -1323,7 +1384,7 @@ def icp_register(
                 # readback) instead of fetching 3*nm floats through the
                 # tunnel — see the match_cell_cap note above.
                 _, cap_dev = _grid_build_cap_jit(
-                    apply_H(Xm, H0_dev.astype(dtype)),
+                    apply_H(Xm, H0_dev_fn().astype(dtype)),
                     jnp.asarray(cfg.max_overlap_distance, dtype),
                 )
                 cap = -(-int(cap_dev) // 8) * 8
@@ -1336,7 +1397,7 @@ def icp_register(
             # tunnel (~seconds at 10M+ points).
             ext_sel_mask = jnp.asarray(
                 overlap_mask_dilate(
-                    Xf, Xm, H0_dev, cfg.max_overlap_distance, plan,
+                    Xf, Xm, H0_dev_fn(), cfg.max_overlap_distance, plan,
                     Xm_host=X_mov if isinstance(X_mov, np.ndarray) else None,
                 )
             )
@@ -1347,9 +1408,9 @@ def icp_register(
                 cfg, gate_method=resolved, grid_cell_cap=cap
             )
 
-    obs_vals = (jnp.zeros(6, dtype) if rbp_observed_values is None
+    obs_vals = (_zeros_const((6,), dtype) if rbp_observed_values is None
                 else jnp.asarray(rbp_observed_values, dtype))
-    obs_w = (jnp.zeros(6, dtype) if rbp_observation_weights is None
+    obs_w = (_zeros_const((6,), dtype) if rbp_observation_weights is None
              else jnp.asarray(rbp_observation_weights, dtype))
 
     has_normals = normals_fix is not None
@@ -1358,18 +1419,18 @@ def icp_register(
         planarity_arr = (jnp.ones(Xf.shape[0], dtype) if planarity_fix is None
                          else jnp.asarray(planarity_fix, dtype))
     else:
-        normals_arr = jnp.zeros((1, 3), dtype)
-        planarity_arr = jnp.zeros((1,), dtype)
+        normals_arr = _zeros_const((1, 3), dtype)
+        planarity_arr = _zeros_const((1,), dtype)
 
     has_mov_planarity = planarity_mov is not None
     planarity_mov_arr = (
         jnp.asarray(planarity_mov, dtype) if has_mov_planarity
-        else jnp.zeros((1,), dtype)
+        else _zeros_const((1,), dtype)
     )
 
     has_ext_sel = ext_sel_mask is not None
     if not has_ext_sel:
-        ext_sel_mask = jnp.zeros((1,), bool)
+        ext_sel_mask = _zeros_const((1,), bool)
 
     # ---- Dispatch planning (host-side): monolithic vs host-chunked ----
     # Within program_budget_s the whole registration runs as ONE program

@@ -1,0 +1,111 @@
+"""The shipped watchdog-guard rate constants (utils/device_policy.py) must
+lie within the envelope of the HEALTHY rows of the recorded calibration
+artifact (calibration_tpu.json).
+
+Round-3 verdict: the artifact carried a degraded-window grid-build row 78x
+off the shipped constant with no health flag — a future recalibration (or
+reader) could ship the degraded rate, and the round's own lesson was that a
+14x rate error crashes workers. calibrate_guard.py now health-probes before
+each row and records `healthy` per row; this test closes the loop by
+asserting the constants the planner ships are consistent with what the
+healthy rows measured:
+
+- not OPTIMISTIC: a shipped rate above every healthy measurement would make
+  the planner dispatch worker-killing programs (the round-2 crash mode);
+- not wildly PESSIMISTIC: a shipped rate far below the slowest healthy
+  measurement would refuse runnable configs (the round-2 refusal mode).
+"""
+
+import json
+import os
+
+import pytest
+
+from simpleicp_tpu.utils import device_policy as dp
+
+ARTIFACT = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                        "calibration_tpu.json")
+
+# The shipped constant may be at most this factor below the slowest healthy
+# measurement (deliberate safety margin) and must not exceed the fastest.
+MAX_MARGIN = 5.0
+
+
+def _load():
+    if not os.path.exists(ARTIFACT):
+        pytest.skip("no calibration artifact recorded")
+    with open(ARTIFACT) as fh:
+        art = json.load(fh)
+    rows = art.get("sweep", []) + art.get("knn", []) + art.get("gather", [])
+    if not rows or "healthy" not in rows[0]:
+        pytest.skip(
+            "calibration artifact predates per-row health probes "
+            "(regenerate with scripts/calibrate_guard.py)"
+        )
+    return art
+
+
+def _healthy_rates(rows, key):
+    return [float(r[key]) for r in rows if r.get("healthy")]
+
+
+def _check_envelope(shipped, rates, name):
+    assert rates, f"no healthy rows for {name}"
+    fastest, slowest = max(rates), min(rates)
+    assert shipped <= fastest, (
+        f"{name}: shipped rate {shipped:.3e} is OPTIMISTIC vs fastest "
+        f"healthy measurement {fastest:.3e} — the planner would dispatch "
+        f"over-budget programs"
+    )
+    assert shipped >= slowest / MAX_MARGIN, (
+        f"{name}: shipped rate {shipped:.3e} is >{MAX_MARGIN}x below the "
+        f"slowest healthy measurement {slowest:.3e} — the planner would "
+        f"refuse runnable configs"
+    )
+
+
+def test_sweep_rate_within_healthy_envelope():
+    art = _load()
+    _check_envelope(
+        dp.TPU_SWEEP_PAIRS_PER_SEC,
+        _healthy_rates(art["sweep"], "pairs_per_s"),
+        "TPU_SWEEP_PAIRS_PER_SEC",
+    )
+
+
+def test_knn10_rate_within_healthy_envelope():
+    art = _load()
+    _check_envelope(
+        dp.TPU_KNN10_PAIRS_PER_SEC,
+        _healthy_rates(art["knn"], "pairs_per_s"),
+        "TPU_KNN10_PAIRS_PER_SEC",
+    )
+
+
+def test_gather_rate_within_healthy_envelope():
+    art = _load()
+    # The gather model is the grid matcher's worst case; measured rates at
+    # small element counts are dispatch-bound, so only the largest healthy
+    # row bounds the constant from above.
+    rates = _healthy_rates(art["gather"], "elems_per_s")
+    assert rates, "no healthy gather rows"
+    assert dp.TPU_GATHER_ELEMS_PER_SEC <= max(rates), (
+        "shipped gather rate is optimistic vs every healthy measurement"
+    )
+
+
+def test_sort_rate_consistent_with_grid_build_row():
+    """The round-3 contamination: build_seconds=38.9 (degraded) recorded
+    while the shipped TPU_SORT_ELEMS_PER_SEC was justified by a healthy
+    0.24 s measurement — a 78x internal disagreement. With health flags the
+    artifact's grid row must be healthy AND agree with the constant."""
+    art = _load()
+    gq = art.get("grid_query")
+    if not gq:
+        pytest.skip("artifact has no grid_query row")
+    assert gq.get("healthy"), (
+        "grid_query row recorded inside an unhealthy window — regenerate"
+    )
+    build_rate = float(gq["build_elems_per_s"])
+    _check_envelope(dp.TPU_SORT_ELEMS_PER_SEC, [build_rate],
+                    "TPU_SORT_ELEMS_PER_SEC")

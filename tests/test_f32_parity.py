@@ -56,3 +56,63 @@ def test_bunny_gated_f32_matches_f64(bunny):
     H64, H32 = np.asarray(r64.H), np.asarray(r32.H)
     assert _angular_error_deg(H32[:3, :3], H64[:3, :3]) < 0.05
     np.testing.assert_allclose(H32[:3, 3], H64[:3, 3], atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# Q13 (SURVEY.md §2.9): the absolute convergence noise floor is a deliberate
+# deviation from the reference's purely relative min_change criterion. These
+# two tests pin its contract: (a) in f64 the floor NEVER fires — trajectories
+# are bit-identical with the floor disabled, so the parity path keeps exact
+# reference semantics; (b) in f32 the floor is load-bearing — without it the
+# relative criterion stalls on rounding jitter for tens of iterations.
+# ---------------------------------------------------------------------------
+
+import dataclasses
+
+
+def test_q13_f64_floor_is_noop(dragon, bunny):
+    for clouds, base in (
+        (dragon, IcpConfig()),
+        (bunny, IcpConfig(max_overlap_distance=1.0)),
+    ):
+        X_fix, X_mov = clouds
+        cfg_floor = base
+        cfg_ref = dataclasses.replace(base, convergence_floor_scale=0.0)
+        r_floor = _run(X_fix, X_mov, cfg_floor, jnp.float64)
+        r_ref = _run(X_fix, X_mov, cfg_ref, jnp.float64)
+        assert int(r_floor.n_iterations) == int(r_ref.n_iterations)
+        np.testing.assert_array_equal(
+            np.asarray(r_floor.H), np.asarray(r_ref.H)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(r_floor.iter_means), np.asarray(r_ref.iter_means)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(r_floor.iter_stds), np.asarray(r_ref.iter_stds)
+        )
+
+
+def test_q13_f32_stall_motivates_floor(dragon):
+    # The stall regime: once eps(f32)·|coords| reaches the residual scale,
+    # the relative criterion measures pure rounding jitter. Georeferenced
+    # (UTM-scale, ~1e6 m) coordinates through the FUNCTIONAL API (which,
+    # unlike SimpleICP.run's center=True, does not recenter) are the
+    # documented motivation. Measured here: floor → converges in 2
+    # iterations; pure relative criterion → burns all 100 max_iterations
+    # without ever converging. (On TPU the same happens at dragon's native
+    # O(1) scale because the solver's internal accumulations are f32 too —
+    # x64-off; the 41-vs-7 README repro.)
+    X_fix, X_mov = dragon
+    off = np.float64(1e6)
+    X_fix, X_mov = X_fix + off, X_mov + off
+    r_floor = icp_register(X_fix, X_mov, IcpConfig(), dtype=jnp.float32)
+    r_ref = icp_register(
+        X_fix, X_mov,
+        IcpConfig(convergence_floor_scale=0.0),
+        dtype=jnp.float32,
+    )
+    assert int(r_floor.error_code) == 0 and bool(r_floor.converged)
+    assert int(r_ref.error_code) == 0
+    n_floor, n_ref = int(r_floor.n_iterations), int(r_ref.n_iterations)
+    stalled = (not bool(r_ref.converged)) or n_ref >= 4 * n_floor
+    assert stalled, (n_ref, bool(r_ref.converged), n_floor)

@@ -170,3 +170,98 @@ def test_warm_start_cli_flag():
     assert args.warm_start is True
     args = build_parser().parse_args(["-f", "a.xyz", "-m", "b.xyz"])
     assert args.warm_start is False
+
+
+def test_warm_start_composed_bigc_shape(dragon):
+    """Round-4 verdict item 1: warm start composed with dispatch="chunked"
+    AND the static-grid matcher at a scaled-down big-C shape (high
+    correspondence count, gated), on a REFERENCE dataset — the exact
+    composition the big-C headline runs on hardware. The warm run must land
+    in the cold run's basin."""
+    X_fix, X_mov = dragon
+    base = dict(
+        correspondences=5000,            # big-C scaled down
+        max_overlap_distance=1.0,
+        match_method="grid",
+        solver="nonlinear",
+    )
+    cold = icp_register(X_fix, X_mov, IcpConfig(**base))
+    warm = icp_register(
+        X_fix, X_mov,
+        IcpConfig(
+            warm_start=True, warm_start_points=20000,
+            dispatch="chunked", chunk_iterations=2, **base,
+        ),
+    )
+    assert int(warm.error_code) == 0 and bool(warm.converged)
+    assert int(warm.n_iterations) <= int(cold.n_iterations)
+    np.testing.assert_allclose(
+        np.asarray(warm.H), np.asarray(cold.H), rtol=0, atol=5e-4
+    )
+
+
+def test_warm_start_nonconverged_coarse_starts_cold(rng):
+    """A coarse pass that hits max_iterations while still drifting is NOT
+    adopted (it can seed farther from the basin than a cold start): the
+    warm run must be bit-identical to the cold run."""
+    X_fix = _surface(rng, 15000)
+    R, t = _known_motion()
+    X_mov = (X_fix - t) @ R
+    # max_iterations=1 cannot satisfy the two-iteration min_change
+    # criterion, so the coarse pass always ends converged=False.
+    cold = icp_register(X_fix, X_mov, IcpConfig(max_iterations=1))
+    warm = icp_register(
+        X_fix, X_mov,
+        IcpConfig(max_iterations=1, warm_start=True, warm_start_points=3000),
+    )
+    for field in cold._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(cold, field)),
+            np.asarray(getattr(warm, field)), err_msg=field,
+        )
+
+
+def test_warm_start_device_resident_normals(rng):
+    """User-supplied normals/planarity arrive as DEVICE arrays in production
+    (PointCloud columns); the coarse-pass subsampling must slice them
+    without a hidden full device->host fetch and still register correctly."""
+    import jax.numpy as jnp
+
+    from simpleicp_tpu.ops.normals import estimate_normals
+
+    X_fix = _surface(rng, 12000)
+    R, t = _known_motion()
+    X_mov = (X_fix - t) @ R
+    Xf_dev = jnp.asarray(X_fix)
+    normals, planarity = estimate_normals(Xf_dev, jnp.arange(Xf_dev.shape[0]), 10)
+    res = icp_register(
+        Xf_dev, jnp.asarray(X_mov),
+        IcpConfig(warm_start=True, warm_start_points=3000),
+        normals_fix=normals, planarity_fix=planarity,
+    )
+    assert int(res.error_code) == 0
+    np.testing.assert_allclose(np.asarray(res.H)[:3, 3], t, atol=2e-3)
+
+
+def test_warm_start_gate_widened_for_coarse_pass(rng):
+    """A gate radius tuned to FULL-resolution NN spacing must not starve
+    the coarse pass: with ~25k points over a 4x4 surface (spacing ~0.025),
+    max_overlap_distance=0.08 is generous at full resolution but is well
+    under the stride-25 coarse spacing (~0.13) — without the spacing_factor
+    widening the coarse gate rejects everything and warm_start silently
+    degrades to a cold start. With it, the coarse seed is adopted and the
+    warm run takes fewer full-resolution iterations."""
+    X_fix = _surface(rng, 25000)
+    R, t = _known_motion()
+    X_mov = (X_fix - t) @ R
+    cfg = IcpConfig(
+        max_overlap_distance=0.08,
+        warm_start=True, warm_start_points=1000,
+    )
+    cold = icp_register(X_fix, X_mov, IcpConfig(max_overlap_distance=0.08))
+    warm = icp_register(X_fix, X_mov, cfg)
+    assert int(warm.error_code) == 0 and bool(warm.converged)
+    assert int(warm.n_iterations) < int(cold.n_iterations)
+    np.testing.assert_allclose(
+        np.asarray(warm.H), np.asarray(cold.H), atol=2e-4
+    )
