@@ -45,7 +45,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="1.34e6,12.5e6")
     ap.add_argument("--radius", type=float, default=1.0)
-    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument(
+        "--probe-timeout", type=float, default=240.0,
+        help="per-size health-probe timeout (0 disables; a degraded "
+             "worker window makes scale rows garbage — round-3 verdict "
+             "recorded 12.8-21.6 s spread for identical 50M work)",
+    )
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -60,9 +66,18 @@ def main():
     extent = float(jnp.max(X_fix0[:, 0]) - jnp.min(X_fix0[:, 0]))
     spacing = extent * 1.05
 
+    from simpleicp_tpu.utils.device_policy import probe_default_backend
+
     rows = []
     for size_s in args.sizes.split(","):
         n = int(float(size_s))
+        if args.probe_timeout > 0:
+            status, _b, psec = probe_default_backend(args.probe_timeout)
+            print(f"probe[{n}]: {status} in {psec:.1f} s", flush=True)
+            probe = {"status": status, "seconds": round(psec, 2),
+                     "healthy": status == "ok"}
+        else:
+            probe = {"status": "skipped", "seconds": 0.0, "healthy": True}
         Xf = tile_cloud(X_fix0, n, spacing)
         Xm = tile_cloud(X_mov0, n, spacing)
         cfg = IcpConfig(max_overlap_distance=args.radius)
@@ -93,7 +108,11 @@ def main():
         rows.append({
             "n_points_per_cloud": n,
             "pairs": float(n) * n,
+            "probe": probe, "healthy": probe["healthy"],
             "gated_seconds": round(t, 4),
+            "gated_seconds_all": [round(x, 4) for x in times],
+            "gated_seconds_min": round(float(np.min(times)), 4),
+            "gated_seconds_max": round(float(np.max(times)), 4),
             "upload_seconds_per_cloud": round(upload, 2),
             "first_run_seconds_incl_compile": round(first, 2),
             "iterations": int(res.n_iterations),
