@@ -207,9 +207,15 @@ def main() -> int:
     Xt = (X1[None] + off[:, None]).reshape(-1, 3)[:n_target]
     cap = grid_cell_cap(Xt.astype(np.float64), radius)
     Xd = jax.device_put(jnp.asarray(Xt))
+    # Compile pass FIRST: the remote compile of build_sorted_grid at this
+    # shape is ~15-20 s — timing it with the run is exactly how the
+    # round-3 "contaminated" 38.9 s row happened (compile+run conflated;
+    # the healthy RUN is ~0.2-0.4 s). Then time a perturbed re-run.
+    jax.block_until_ready(build_sorted_grid(Xd, jnp.float32(radius)))
+    Xd2 = jax.block_until_ready(Xd + jnp.float32(1e-7))
     t0 = time.perf_counter()
     g_pts, g_slots, g_order, g_origin, g_run_end = jax.block_until_ready(
-        build_sorted_grid(Xd, jnp.float32(radius))
+        build_sorted_grid(Xd2, jnp.float32(radius))
     )
     t_build = time.perf_counter() - t0
     Qg = jax.device_put(jnp.asarray(Xt[:: n_target // 100_000][:100_000]))

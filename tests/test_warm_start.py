@@ -227,13 +227,15 @@ def test_warm_start_device_resident_normals(rng):
     without a hidden full device->host fetch and still register correctly."""
     import jax.numpy as jnp
 
-    from simpleicp_tpu.ops.normals import estimate_normals
+    from simpleicp_tpu.ops.knn import knn_search
+    from simpleicp_tpu.ops.normals import estimate_normals_from_neighborhoods
 
     X_fix = _surface(rng, 12000)
     R, t = _known_motion()
     X_mov = (X_fix - t) @ R
     Xf_dev = jnp.asarray(X_fix)
-    normals, planarity = estimate_normals(Xf_dev, jnp.arange(Xf_dev.shape[0]), 10)
+    _, ik = knn_search(Xf_dev, Xf_dev, 10)
+    normals, planarity, _ = estimate_normals_from_neighborhoods(Xf_dev[ik])
     res = icp_register(
         Xf_dev, jnp.asarray(X_mov),
         IcpConfig(warm_start=True, warm_start_points=3000),
