@@ -70,6 +70,7 @@ def run_one(tag, X_fix, X_mov, cfg, repeats=1):
         print(f"  [{tag}] rep {rep}: {dt:.2f} s "
               f"(iters={int(res.n_iterations)}, err={int(res.error_code)})",
               flush=True)
+    run_one.last_times = [round(t, 2) for t in times]
     return res, (float(np.median(times)) if times else float("nan"))
 
 
@@ -111,6 +112,7 @@ def main() -> int:
     )
     res2, t2 = run_one("grid", X_fix, X_mov_near, cfg_grid, args.repeats)
     out["runs"]["grid_tight_radius"] = {
+        "seconds_all": run_one.last_times,
         "seconds": round(t2, 2), "iterations": int(res2.n_iterations),
         "H": np.asarray(res2.H).tolist(),
         "matched_all": bool(np.asarray(res2.iter_counts)[0] > 0),
@@ -122,6 +124,7 @@ def main() -> int:
     res3, t3 = run_one("brute-near", X_fix, X_mov_near, cfg_brute,
                        args.repeats)
     out["runs"]["brute_chunked_near"] = {
+        "seconds_all": run_one.last_times,
         "seconds": round(t3, 2), "iterations": int(res3.n_iterations),
         "H": np.asarray(res3.H).tolist(),
     }
@@ -135,6 +138,7 @@ def main() -> int:
         res1, t1 = run_one("brute-true", X_fix, X_mov, cfg_brute,
                            args.repeats)
         out["runs"]["brute_chunked_true"] = {
+            "seconds_all": run_one.last_times,
             "seconds": round(t1, 2), "iterations": int(res1.n_iterations),
             "H": np.asarray(res1.H).tolist(),
             "converged": bool(res1.converged),
@@ -145,6 +149,7 @@ def main() -> int:
         cfg_warm = IcpConfig(correspondences=C, warm_start=True)
         res4, t4 = run_one("warm-true", X_fix, X_mov, cfg_warm, args.repeats)
         out["runs"]["brute_chunked_true_warm"] = {
+            "seconds_all": run_one.last_times,
             "seconds": round(t4, 2), "iterations": int(res4.n_iterations),
             "H": np.asarray(res4.H).tolist(),
             "converged": bool(res4.converged),
