@@ -46,6 +46,7 @@ def main():
     ap.add_argument("--sizes", default="1.34e6,12.5e6")
     ap.add_argument("--radius", type=float, default=1.0)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--probe-budget", type=float, default=3600.0)
     ap.add_argument(
         "--probe-timeout", type=float, default=240.0,
         help="per-size health-probe timeout (0 disables; a degraded "
@@ -55,27 +56,56 @@ def main():
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
+    from simpleicp_tpu.utils.device_policy import probe_default_backend
+
+    # Probe BEFORE the first in-process device touch: a stalled worker
+    # hangs jnp.asarray uninterruptibly (CLAUDE.md) and no later probe can
+    # save the process. Retry until the worker answers or the budget runs
+    # out.
+    if args.probe_timeout > 0:
+        deadline0 = time.monotonic() + args.probe_budget
+        while True:
+            status0, _b0, psec0 = probe_default_backend(args.probe_timeout)
+            print(f"probe[preflight]: {status0} in {psec0:.1f} s",
+                  flush=True)
+            if status0 == "ok" or time.monotonic() > deadline0:
+                break
+            time.sleep(60)
+        if status0 != "ok":
+            print("worker did not answer the pre-flight probe within the "
+                  "budget; aborting with no measurement", flush=True)
+            return 1
+
     import jax
     import jax.numpy as jnp
 
     from simpleicp_tpu import IcpConfig, icp_register
     from simpleicp_tpu.utils.xyz_io import read_xyz
 
-    X_fix0 = jnp.asarray(read_xyz(f"{DATA}/dragon1.xyz"), jnp.float32)
-    X_mov0 = jnp.asarray(read_xyz(f"{DATA}/dragon2.xyz"), jnp.float32)
-    extent = float(jnp.max(X_fix0[:, 0]) - jnp.min(X_fix0[:, 0]))
+    X_fix0 = read_xyz(f"{DATA}/dragon1.xyz").astype(np.float32)
+    X_mov0 = read_xyz(f"{DATA}/dragon2.xyz").astype(np.float32)
+    extent = float(X_fix0[:, 0].max() - X_fix0[:, 0].min())
     spacing = extent * 1.05
-
-    from simpleicp_tpu.utils.device_policy import probe_default_backend
 
     rows = []
     for size_s in args.sizes.split(","):
         n = int(float(size_s))
         if args.probe_timeout > 0:
-            status, _b, psec = probe_default_backend(args.probe_timeout)
-            print(f"probe[{n}]: {status} in {psec:.1f} s", flush=True)
+            # retry until the worker answers (degraded windows last
+            # 30-60+ min after big jobs; a row measured inside one is
+            # garbage) — bounded by --probe-budget
+            deadline = time.monotonic() + args.probe_budget
+            attempt = 0
+            while True:
+                attempt += 1
+                status, _b, psec = probe_default_backend(args.probe_timeout)
+                print(f"probe[{n}] attempt {attempt}: {status} in "
+                      f"{psec:.1f} s", flush=True)
+                if status == "ok" or time.monotonic() > deadline:
+                    break
+                time.sleep(60)
             probe = {"status": status, "seconds": round(psec, 2),
-                     "healthy": status == "ok"}
+                     "attempts": attempt, "healthy": status == "ok"}
         else:
             probe = {"status": "skipped", "seconds": 0.0, "healthy": True}
         Xf = tile_cloud(X_fix0, n, spacing)
