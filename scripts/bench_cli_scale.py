@@ -75,8 +75,9 @@ def main() -> int:
         "--export", f_out,
     ]
     print("running:", " ".join(cmd), flush=True)
+    env = dict(os.environ, SIMPLEICP_TPU_DEBUG_TIMING="1")
     t0 = time.perf_counter()
-    r = subprocess.run(cmd, capture_output=True, text=True)
+    r = subprocess.run(cmd, capture_output=True, text=True, env=env)
     wall = time.perf_counter() - t0
     sys.stdout.write(r.stdout[-4000:])
     sys.stderr.write(r.stderr[-2000:])
@@ -86,7 +87,9 @@ def main() -> int:
 
     m = re.search(r"Finished in ([0-9.]+) seconds", r.stdout + r.stderr)
     algo_s = float(m.group(1)) if m else None
+    phases = re.findall(r"timing: (.+?) ([0-9.]+) s", r.stdout + r.stderr)
     res = {
+        "phase_seconds": {k: float(v) for k, v in phases},
         "n_points_per_cloud": n,
         "cli_wall_seconds": round(wall, 1),
         "algorithm_seconds_reported": algo_s,

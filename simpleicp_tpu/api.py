@@ -425,11 +425,14 @@ class SimpleICP:
             if _jax.default_backend() != "cpu":
                 _dt = (_jnp.float64 if _jax.config.jax_enable_x64
                        else _jnp.float32)
+                _t0 = time.time()
                 Xf_run, Xm_run = _jax.block_until_ready(
                     _jax.device_put(
                         (np.asarray(Xf_run, _dt), np.asarray(Xm_run, _dt))
                     )
                 )
+                _log.debug("timing: device preload %.2f s", time.time() - _t0)
+        _t_reg = time.time()
         result = register(
             Xf_run,
             Xm_run,
@@ -457,6 +460,11 @@ class SimpleICP:
             ),
         )
         error = int(result.error_code)
+        _log.debug(
+            "timing: register (dispatch to error-code readback) %.2f s",
+            time.time() - _t_reg,
+        )
+        _t_post = time.time()
         if error == icp_core.ERR_NO_OVERLAP:
             raise SimpleICPException(
                 "Point clouds do not overlap within max_overlap_distance = "
@@ -595,6 +603,10 @@ class SimpleICP:
         residual_mask = np.asarray(result.residual_mask)
         distance_residuals = np.asarray(result.residuals)[residual_mask]
 
+        _log.debug(
+            "timing: postprocess (result fetches + host transform) %.2f s",
+            time.time() - _t_post,
+        )
         _log.info(f"Finished in {time.time() - start_time:.3f} seconds!")
         return H, self.pc2.X, rbp, distance_residuals
 

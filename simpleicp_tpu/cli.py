@@ -199,8 +199,19 @@ def main(argv=None) -> int:
     from . import PointCloud, SimpleICP
     from .utils.xyz_io import write_xyz
 
+    import logging as _logging
+    import time as _time
+
+    from .utils.log import enable_verbose_logging as _evl
+
+    if not args.quiet:
+        _evl()  # idempotent; set up before the parse so its timing line
+        # (DEBUG, SIMPLEICP_TPU_DEBUG_TIMING=1) has a handler
+    _log = _logging.getLogger("simpleicp_tpu.cli")
+    _t0 = _time.time()
     pc_fix = PointCloud.from_xyz(args.fixed)
     pc_mov = PointCloud.from_xyz(args.movable)
+    _log.debug("timing: parse both clouds %.2f s", _time.time() - _t0)
 
     max_overlap = math.inf if args.max_overlap_distance < 0 else args.max_overlap_distance
 
@@ -278,7 +289,11 @@ def main(argv=None) -> int:
         num_devices=args.num_devices,
     )
     if args.export:
+        _t0 = _time.time()
         write_xyz(args.export, X_out)
+        _log.debug(
+            "timing: write transformed cloud %.2f s", _time.time() - _t0
+        )
     return 0
 
 

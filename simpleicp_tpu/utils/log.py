@@ -22,9 +22,17 @@ def get_logger(name: str = _PACKAGE) -> logging.Logger:
 def enable_verbose_logging() -> None:
     """Attach a message-only stdout handler at INFO level. Idempotent —
     repeated calls (e.g. several SimpleICP(verbose=True) instances) do not
-    stack handlers."""
+    stack handlers. SIMPLEICP_TPU_DEBUG_TIMING=1 raises the level to DEBUG,
+    surfacing the 'timing:' phase lines (parse/upload/register/fetch/write)
+    used by scripts/bench_cli_scale.py to decompose end-to-end walls — the
+    INFO contract lines (test_logging_contract) are unaffected."""
+    import os
+
     pkg_log = logging.getLogger(_PACKAGE)
-    pkg_log.setLevel(logging.INFO)
+    pkg_log.setLevel(
+        logging.DEBUG if os.environ.get("SIMPLEICP_TPU_DEBUG_TIMING")
+        else logging.INFO
+    )
     if any(getattr(h, "_simpleicp_tpu_verbose", False) for h in pkg_log.handlers):
         return
     handler = logging.StreamHandler()

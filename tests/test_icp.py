@@ -273,3 +273,26 @@ def test_select_n_big_c_overflow_regression(rng):
     ref = sel[np.round(np.linspace(0, n_sel - 1, C)).astype(np.int64)]
     assert np.asarray(valid).all()
     np.testing.assert_array_equal(np.asarray(idx, np.int64), ref)
+
+
+def test_zeros_const_cache_reuse_and_isolation():
+    """Round-4 small-path: the dummy/zero device constants are cached per
+    (shape, dtype, backend) and reused across registrations (each jnp.zeros
+    is otherwise a separate tiny device program per run — milliseconds of
+    tunnel latency each on a ~30 ms job). The arrays must be identical
+    objects across calls, never donated/deleted, and distinct per dtype."""
+    import jax.numpy as jnp
+
+    from simpleicp_tpu.models import icp as icp_core
+
+    a = icp_core._zeros_const((6,), jnp.float32)
+    b = icp_core._zeros_const((6,), jnp.float32)
+    assert a is b
+    c = icp_core._zeros_const((6,), jnp.float64)
+    assert c is not a and c.dtype == jnp.float64
+    # still alive and usable after a full registration ran with them
+    rng = np.random.default_rng(3)
+    X = rng.standard_normal((500, 3))
+    res = icp_register(X, X + 1e-3, IcpConfig(correspondences=100))
+    assert int(res.error_code) == 0
+    np.testing.assert_array_equal(np.asarray(a), np.zeros(6, np.float32))
