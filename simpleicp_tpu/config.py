@@ -175,7 +175,13 @@ class IcpConfig:
     # weight=inf frozen parameters are preserved bit-for-bit).
     warm_start: bool = False
     # Target subsampled-cloud size and correspondence count of the coarse
-    # warm-start registration.
+    # warm-start registration. Tuning (measured on the C=1e5 x 12.5M
+    # headline, BENCHMARKS.md): the 1M/1000 default converges in 3
+    # full-resolution iterations (26.3 s vs 48.4 s cold, |dH| vs cold
+    # 1.5e-3); 4M/2000 reaches the min_change 2-iteration floor (21.9 s)
+    # at the cost of ~5e-3 transform drift from the cold optimum — the
+    # criterion stops while refinement is still converging. Larger coarse
+    # passes buy speed, not accuracy.
     warm_start_points: int = 1_000_000
     warm_start_correspondences: int = 1000
     # Scale of the absolute convergence noise floor (SURVEY.md §2.9 Q13):
