@@ -1021,15 +1021,56 @@ def _icp_run_chunked(Xf, Xm, obs_vals, obs_w, normals_fix, planarity_fix,
         )
     carry = make_carry_init(cfg, dtype, obs_vals.astype(dtype), H0, error)
 
+    # Stall-window observability (round-4 finding: the SAME cached chunk
+    # program intermittently runs 2-13x its healthy time inside a degraded
+    # worker window — gated 50M reps of 25.6 vs 106.4 s, a 48 s headline
+    # rep at 1298 s). The chunk boundary is the natural detection point:
+    # compare each chunk's wall against the calibrated per-iteration model
+    # and WARN, so a production run inside a window is diagnosed live
+    # instead of silently slow. (Estimates are only priced for the
+    # accelerator path; CPU runs skip the check.)
+    per_iter_est = 0.0
+    if jax.default_backend() != "cpu":
+        from ..utils.device_policy import estimate_tpu_stage_seconds
+
+        _, _, _, per_iter_est = estimate_tpu_stage_seconds(
+            Xf.shape[0], Xm.shape[0],
+            correspondences=cfg.correspondences,
+            neighbors=cfg.neighbors,
+            match_method=cfg.match_method,
+            match_cell_cap=cfg.match_cell_cap,
+            has_normals=has_normals,
+        )
+    import logging as _logging
+    import time as _time
+
+    _slog = _logging.getLogger(__name__)
+
     while True:
-        hi = min(T, int(carry.it) + K)
+        it_before = int(carry.it)
+        hi = min(T, it_before + K)
+        _t0 = _time.perf_counter()
         carry, uncertainties, covariance = _icp_chunk_jit(
             carry, jnp.int32(hi), Q, normals, planarity, sel_valid,
             obs_vals, obs_w, Xm, planarity_mov, grid,
             cfg=cfg, has_mov_planarity=has_mov_planarity, use_grid=use_grid,
         )
-        if (bool(carry.converged) or int(carry.error) != ERR_OK
-                or int(carry.it) >= T):
+        done = bool(carry.converged) or int(carry.error) != ERR_OK \
+            or int(carry.it) >= T
+        chunk_wall = _time.perf_counter() - _t0
+        n_ran = max(int(carry.it) - it_before, 1)
+        est = n_ran * per_iter_est
+        if (per_iter_est > 0 and est > _STALL_MIN_EST_S
+                and chunk_wall > _STALL_FACTOR * est + _STALL_SLACK_S):
+            _slog.warning(
+                "chunk of %d iterations took %.1f s against a calibrated "
+                "estimate of %.1f s (%.0fx) — the worker is likely in a "
+                "degraded window (post-big-job stall; CLAUDE.md). The run "
+                "continues and stays correct, but wall times measured now "
+                "are not representative.",
+                n_ran, chunk_wall, est, chunk_wall / max(est, 1e-9),
+            )
+        if done:
             break
 
     return IcpResult(
@@ -1070,6 +1111,14 @@ def _icp_run_chunked(Xf, Xm, obs_vals, obs_w, normals_fix, planarity_fix,
 # worker (2026-08-19, BENCHMARKS.md kernel notes). 2^38 ~ 2.7e11 keeps whole
 # programs under the observed hazard with margin.
 MATCH_AUTO_PAIR_BUDGET = 2**38
+
+# Chunk stall detection margins (_icp_run_chunked): warn when a chunk's
+# wall exceeds _STALL_FACTOR x its calibrated estimate plus
+# _STALL_SLACK_S of dispatch slack, for estimates above _STALL_MIN_EST_S
+# (sub-second chunks are dispatch-latency-bound and would false-positive).
+_STALL_FACTOR = 4.0
+_STALL_SLACK_S = 5.0
+_STALL_MIN_EST_S = 0.5
 
 
 def resolve_match_method(cfg: IcpConfig, n_queries: int, n_mov: int) -> IcpConfig:

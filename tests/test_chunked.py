@@ -288,3 +288,50 @@ def test_grid_knn_prologue_cascade_round2(rng, caplog, monkeypatch):
     nrm_d, pla_d = _icp_knn_block_jit(Q, Xf, cfg=cfg)
     np.testing.assert_array_equal(np.asarray(normals), np.asarray(nrm_d))
     np.testing.assert_array_equal(np.asarray(planarity), np.asarray(pla_d))
+
+
+def test_chunk_stall_warning(rng, caplog, monkeypatch):
+    """Round-4 stall observability: a chunk running far over its calibrated
+    estimate logs a WARNING naming the degraded-window diagnosis (the same
+    cached program was measured 2-13x slower inside such windows). Margins
+    are module constants so the trigger can be tested without a real
+    multi-second stall."""
+    import logging
+
+    import jax.numpy as jnp
+
+    from simpleicp_tpu.models import icp as icp_core
+    from simpleicp_tpu.models.icp import _icp_run_chunked
+
+    X_fix = _surface(rng, 4000)
+    X_mov = X_fix - np.array([0.03, 0.02, -0.01])
+    monkeypatch.setattr(icp_core.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(
+        "simpleicp_tpu.utils.device_policy.estimate_tpu_stage_seconds",
+        lambda *a, **k: (0.0, 0.0, 0.0, 1.0),  # est 1 s/iter >> real wall? no:
+    )
+    # With per_iter_est=1.0 a 2-iteration chunk estimates 2 s; a healthy CPU
+    # chunk runs in well under the 4x+5s margin, so NO warning fires. Then
+    # shrink the margins to force the trigger deterministically.
+    dt = jnp.float64
+    args = (
+        jnp.asarray(X_fix, dt), jnp.asarray(X_mov, dt),
+        jnp.zeros(6, dt), jnp.zeros(6, dt),
+        jnp.zeros((1, 3), dt), jnp.zeros((1,), dt), jnp.zeros((1,), dt),
+        jnp.zeros((1,), bool),
+    )
+    kw = dict(cfg=IcpConfig(correspondences=256), has_normals=False,
+              has_mov_planarity=False, has_ext_sel=False, chunk_iters=2,
+              knn_block=0, knn_grid=False)
+    with caplog.at_level(logging.WARNING, logger="simpleicp_tpu"):
+        _icp_run_chunked(*args, **kw)
+    assert not [r for r in caplog.records if "degraded window" in r.message]
+
+    monkeypatch.setattr(icp_core, "_STALL_FACTOR", 0.0)
+    monkeypatch.setattr(icp_core, "_STALL_SLACK_S", 0.0)
+    monkeypatch.setattr(icp_core, "_STALL_MIN_EST_S", 0.0)
+    with caplog.at_level(logging.WARNING, logger="simpleicp_tpu"):
+        res = _icp_run_chunked(*args, **kw)
+    assert int(res.error_code) == 0
+    warned = [r for r in caplog.records if "degraded window" in r.message]
+    assert warned, "stall warning did not fire with zeroed margins"
