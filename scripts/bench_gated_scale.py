@@ -128,12 +128,39 @@ def main():
         t0 = time.perf_counter()
         Xm_d = jax.block_until_ready(jnp.asarray(Xm, jnp.float32))
         upload = time.perf_counter() - t0
-        times = []
+        # Adaptive retry (round-4): the worker oscillates between healthy
+        # windows and 2-13x degraded windows MID-row. A rep far above the
+        # best rep so far is re-measured once after the worker answers a
+        # fresh probe; stalled samples stay recorded (gated_seconds_raw)
+        # but the published median is over clean reps only.
+        times, raw = [], []
+        jit_i = 0
         for i in range(args.repeats):
-            Xm_i = jax.block_until_ready(Xm_d + jnp.float32(1e-7 * (i + 1)))
-            t0 = time.perf_counter()
-            H = np.asarray(icp_register(Xf_d, Xm_i, cfg).H)
-            times.append(time.perf_counter() - t0)
+            attempts = 0
+            while True:
+                attempts += 1
+                jit_i += 1
+                Xm_i = jax.block_until_ready(
+                    Xm_d + jnp.float32(1e-7 * jit_i))
+                t0 = time.perf_counter()
+                H = np.asarray(icp_register(Xf_d, Xm_i, cfg).H)
+                dt = time.perf_counter() - t0
+                raw.append(round(dt, 4))
+                stalled = (times and dt > 3.0 * min(times)
+                           and args.probe_timeout > 0 and attempts == 1)
+                if not stalled:
+                    times.append(dt)
+                    break
+                print(f"  rep {i}: {dt:.1f} s vs best {min(times):.1f} s "
+                      "— stalled window suspected, waiting for a healthy "
+                      "probe and re-measuring once", flush=True)
+                rdeadline = time.monotonic() + args.probe_budget
+                while True:
+                    st, _b2, ps2 = probe_default_backend(args.probe_timeout)
+                    print(f"  retry probe: {st} in {ps2:.1f} s", flush=True)
+                    if st == "ok" or time.monotonic() > rdeadline:
+                        break
+                    time.sleep(60)
         t = float(np.median(times))
         rows.append({
             "n_points_per_cloud": n,
@@ -141,6 +168,7 @@ def main():
             "probe": probe, "healthy": probe["healthy"],
             "gated_seconds": round(t, 4),
             "gated_seconds_all": [round(x, 4) for x in times],
+            "gated_seconds_raw": raw,
             "gated_seconds_min": round(float(np.min(times)), 4),
             "gated_seconds_max": round(float(np.max(times)), 4),
             "upload_seconds_per_cloud": round(upload, 2),
