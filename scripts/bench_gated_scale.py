@@ -161,6 +161,31 @@ def main():
                     if st == "ok" or time.monotonic() > rdeadline:
                         break
                     time.sleep(60)
+        # Post-pass outlier cleanup: the FIRST rep has no baseline, so a
+        # stall there escapes the in-loop retry. If the spread still shows
+        # a >3x outlier, re-measure it once after a healthy probe.
+        if (args.probe_timeout > 0 and len(times) >= 2
+                and max(times) > 3.0 * min(times)):
+            print(f"  outlier cleanup: reps {sorted(round(x,1) for x in times)} "
+                  "— re-measuring the outlier after a healthy probe",
+                  flush=True)
+            rdeadline = time.monotonic() + args.probe_budget
+            while True:
+                st, _b3, ps3 = probe_default_backend(args.probe_timeout)
+                print(f"  cleanup probe: {st} in {ps3:.1f} s", flush=True)
+                if st == "ok" or time.monotonic() > rdeadline:
+                    break
+                time.sleep(60)
+            if st == "ok":
+                jit_i += 1
+                Xm_i = jax.block_until_ready(
+                    Xm_d + jnp.float32(1e-7 * jit_i))
+                t0 = time.perf_counter()
+                H = np.asarray(icp_register(Xf_d, Xm_i, cfg).H)
+                dt = time.perf_counter() - t0
+                raw.append(round(dt, 4))
+                times[int(np.argmax(times))] = dt
+                print(f"  outlier re-measure: {dt:.1f} s", flush=True)
         t = float(np.median(times))
         rows.append({
             "n_points_per_cloud": n,
