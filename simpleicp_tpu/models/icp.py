@@ -1309,6 +1309,7 @@ def icp_register(
     if Xf.ndim != 2 or Xf.shape[1] != 3 or Xm.ndim != 2 or Xm.shape[1] != 3:
         raise ValueError("point clouds must have shape (n, 3)")
 
+    warm_requested = cfg.warm_start
     if cfg.warm_start:
         cfg, rbp_observed_values = plan_warm_start(
             X_fix, X_mov, cfg,
@@ -1578,6 +1579,22 @@ def icp_register(
             f", K={chunk_k}" if dispatch == "chunked" else "",
             f", knn_block={knn_block}" if knn_block else "", budget,
         )
+        if (dispatch == "chunked" and not warm_requested
+                and per_iter_s > 1.0
+                and (rbp_observation_weights is None
+                     or not np.any(np.asarray(rbp_observation_weights)))):
+            # Iterations dominate this run's cost, and a coarse-to-fine
+            # seed typically removes half of them (measured: C=1e5 x
+            # 12.5M, 48.4 s cold -> 26.3 s warm, BENCHMARKS.md). Only
+            # hinted when no rbp observations exist (a finite-weight
+            # observation is incompatible; an initial-value observation
+            # means the user already seeds H).
+            logging.getLogger(__name__).info(
+                "hint: this registration runs ~%.1f s per full-resolution "
+                "iteration; warm_start=True (coarse-to-fine) typically "
+                "halves the iteration count at identical convergence "
+                "basin.", per_iter_s,
+            )
     else:
         if dispatch == "auto":
             dispatch = "monolithic"

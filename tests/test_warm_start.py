@@ -267,3 +267,34 @@ def test_warm_start_gate_widened_for_coarse_pass(rng):
     np.testing.assert_allclose(
         np.asarray(warm.H), np.asarray(cold.H), atol=2e-4
     )
+
+
+def test_warm_start_hint_logged_for_expensive_chunked_runs(rng, caplog, monkeypatch):
+    """A chunked-dispatch run whose per-iteration cost dominates logs the
+    warm_start hint — but never when warm_start was already requested or
+    rbp observations exist."""
+    import logging
+
+    from simpleicp_tpu.models import icp as icp_core
+
+    X_fix = _surface(rng, 3000)
+    R, t = _known_motion()
+    X_mov = (X_fix - t) @ R
+    monkeypatch.setattr(icp_core.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(
+        "simpleicp_tpu.utils.device_policy.estimate_tpu_stage_seconds",
+        lambda *a, **k: (0.0, 1.0, 0.0, 20.0),  # 20 s/iter -> chunked
+    )
+    with caplog.at_level(logging.INFO, logger="simpleicp_tpu"):
+        res = icp_register(X_fix, X_mov, IcpConfig())
+    assert int(res.error_code) == 0
+    assert any("warm_start=True" in r.message for r in caplog.records)
+
+    caplog.clear()
+    with caplog.at_level(logging.INFO, logger="simpleicp_tpu"):
+        icp_register(
+            X_fix, X_mov, IcpConfig(),
+            rbp_observed_values=np.array([0.01, 0, 0, 0, 0, 0]),
+            rbp_observation_weights=np.array([np.inf, 0, 0, 0, 0, 0]),
+        )
+    assert not any("warm_start=True" in r.message for r in caplog.records)
