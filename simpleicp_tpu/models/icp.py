@@ -885,6 +885,7 @@ def _knn_grid_normals(Q, Xf, cfg: IcpConfig, knn_block: int):
     from ..utils.device_policy import (
         TPU_GATHER_ELEMS_PER_SEC,
         TPU_KNN10_PAIRS_PER_SEC,
+        TPU_SORT_ELEMS_PER_SEC,
     )
 
     exp_fail = float(np.mean(
@@ -916,6 +917,31 @@ def _knn_grid_normals(Q, Xf, cfg: IcpConfig, knn_block: int):
         Q_h = np.asarray(Q)
     if failed.size and r < r_hi:
         # ---- cascade round 2: the uncertified tail at the full radius ----
+        # Priced against skipping straight to the dense patch: the r_hi
+        # grid's cap grows with cell VOLUME ((r_hi/r)^3, ~7-8x here), so a
+        # several-thousand-row tail can be cheaper as dense query blocks
+        # than as padded 27*cap_hi gathers (measured at the big-C headline:
+        # 7270 failed rows priced 7.1 s regrid vs 5.3 s dense). Both paths
+        # produce bit-identical rows (certificates / by construction).
+        import logging
+
+        blk2_est = max(512, 1 << (int(failed.size) - 1).bit_length())
+        regrid_est = (
+            Xf.shape[0] / TPU_SORT_ELEMS_PER_SEC
+            + blk2_est * 27.0 * cap_hi_est * 3.0 / TPU_GATHER_ELEMS_PER_SEC
+        )
+        dense_est = (
+            blk2_est * float(Xf.shape[0])
+            / (TPU_KNN10_PAIRS_PER_SEC * 10.0 / cfg.neighbors)
+        )
+        if dense_est < regrid_est:
+            logging.getLogger(__name__).info(
+                "grid-kNN prologue: %d/%d uncertified at r=%.4g -> dense "
+                "patch directly (priced %.1f s vs %.1f s regrid)",
+                failed.size, C, r, dense_est, regrid_est,
+            )
+            r = r_hi  # skip the regrid branch; dense patch handles the tail
+    if failed.size and r < r_hi:
         import logging
 
         logging.getLogger(__name__).info(
@@ -990,17 +1016,37 @@ def _icp_run_chunked(Xf, Xm, obs_vals, obs_w, normals_fix, planarity_fix,
     T = cfg.max_iterations
     K = max(1, int(chunk_iters))
 
+    import logging as _logging
+    import time as _time
+
+    _dlog = _logging.getLogger(__name__)
+
     if (knn_block > 0 or knn_grid) and not has_normals:
+        _tp = _time.perf_counter()
         Q, sel_idx, sel_valid, error, H0, grid = _icp_gate_select_jit(
             Xf, Xm, obs_vals, ext_sel_mask,
             cfg=cfg, has_ext_sel=has_ext_sel, build_grid=use_grid,
         )
+        jax.block_until_ready(Q)
+        _dlog.debug(
+            "timing: chunked prologue gate/select %.2f s",
+            _time.perf_counter() - _tp,
+        )
         C = cfg.correspondences
         normals = planarity = None
         if knn_grid:
+            _tp = _time.perf_counter()
             normals, planarity = _knn_grid_normals(Q, Xf, cfg, knn_block)
+            if normals is not None:
+                jax.block_until_ready(normals)
+            _dlog.debug(
+                "timing: chunked prologue grid-kNN normals %.2f s%s",
+                _time.perf_counter() - _tp,
+                "" if normals is not None else " (uneconomical, fallback)",
+            )
         if normals is None:
             # dense kNN in bounded query-block programs
+            _tp = _time.perf_counter()
             blk = knn_block if knn_block > 0 else C
             nb = -(-C // blk)
             Q_pad = jnp.concatenate(
@@ -1012,6 +1058,11 @@ def _icp_run_chunked(Xf, Xm, obs_vals, obs_w, normals_fix, planarity_fix,
             ]
             normals = jnp.concatenate([p[0] for p in parts])[:C]
             planarity = jnp.concatenate([p[1] for p in parts])[:C]
+            jax.block_until_ready(normals)
+            _dlog.debug(
+                "timing: chunked prologue dense-kNN blocks %.2f s",
+                _time.perf_counter() - _tp,
+            )
     else:
         (Q, normals, planarity, sel_idx, sel_valid, error, H0, grid
          ) = _icp_prologue_jit(
@@ -1041,10 +1092,7 @@ def _icp_run_chunked(Xf, Xm, obs_vals, obs_w, normals_fix, planarity_fix,
             match_cell_cap=cfg.match_cell_cap,
             has_normals=has_normals,
         )
-    import logging as _logging
-    import time as _time
-
-    _slog = _logging.getLogger(__name__)
+    _slog = _dlog
 
     while True:
         it_before = int(carry.it)
@@ -1059,6 +1107,10 @@ def _icp_run_chunked(Xf, Xm, obs_vals, obs_w, normals_fix, planarity_fix,
             or int(carry.it) >= T
         chunk_wall = _time.perf_counter() - _t0
         n_ran = max(int(carry.it) - it_before, 1)
+        _dlog.debug(
+            "timing: chunk iterations %d-%d %.2f s",
+            it_before, int(carry.it), chunk_wall,
+        )
         est = n_ran * per_iter_est
         if (per_iter_est > 0 and est > _STALL_MIN_EST_S
                 and chunk_wall > _STALL_FACTOR * est + _STALL_SLACK_S):
