@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import math
 import os
 import re
 import subprocess
@@ -30,14 +29,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 DATA = "/root/reference/data"
 
 
-def tile_cloud_np(X, n_target: int, spacing: float):
-    X = np.asarray(X, np.float32)
-    n = X.shape[0]
-    times = -(-n_target // n)
-    k = math.ceil(times ** (1.0 / 3.0))
-    ii = np.arange(k * k * k, dtype=np.float32)[:times]
-    off = np.stack([ii % k, (ii // k) % k, ii // (k * k)], axis=1) * spacing
-    return (X[None, :, :] + off[:, None, :]).reshape(-1, 3)[:n_target]
+# host-side tiler shared with the gated-scale bench (one tiling scheme for
+# every synthetic-scale benchmark — divergence would silently change what
+# the scale tables measure)
+from bench_gated_scale import tile_cloud as tile_cloud_np  # noqa: E402
 
 
 def main() -> int:

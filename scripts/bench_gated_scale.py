@@ -161,6 +161,15 @@ def main():
                     if st == "ok" or time.monotonic() > rdeadline:
                         break
                     time.sleep(60)
+                if st != "ok":
+                    # worker never recovered within the budget: the stalled
+                    # sample is the only measurement we can honestly take —
+                    # keep it rather than re-measuring into the SAME window
+                    # and publishing that as clean
+                    print("  worker did not recover; keeping the stalled "
+                          "sample", flush=True)
+                    times.append(dt)
+                    break
         # Post-pass outlier cleanup: the FIRST rep has no baseline, so a
         # stall there escapes the in-loop retry. If the spread still shows
         # a >3x outlier, re-measure it once after a healthy probe.

@@ -250,8 +250,10 @@ def main() -> int:
         1 for sec in ("sweep", "knn", "gather") for r in out[sec]
         if not r["healthy"]
     ) + (0 if out["grid_query"]["healthy"] else 1)
-    if not (sweep_rates and gath_rates and knn_rates
-            and out["grid_query"]["healthy"]):
+    incomplete = not (sweep_rates and gath_rates and knn_rates
+                      and out["grid_query"]["healthy"])
+    out["incomplete"] = incomplete
+    if incomplete:
         print("calibrate_guard: too many unhealthy rows — artifact "
               "INCOMPLETE, do not ship constants from it", file=sys.stderr)
     out["summary"] = {
@@ -284,7 +286,10 @@ def main() -> int:
     if args.out:
         with open(args.out, "w") as fh:
             json.dump(out, fh, indent=1)
-    return 0
+    # nonzero on an incomplete artifact so scripted recalibration pipelines
+    # cannot mistake it for a good run (the artifact itself also carries
+    # "incomplete": true, which test_calibration refuses to certify)
+    return 2 if incomplete else 0
 
 
 if __name__ == "__main__":

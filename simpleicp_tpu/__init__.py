@@ -63,12 +63,20 @@ try:
 
             with open("/proc/cpuinfo", "rb") as _f:
                 _info = _f.read()
-            _finger = _hashlib.sha256(
-                b"\n".join(
-                    ln for ln in _info.splitlines()
-                    if ln.startswith((b"model name", b"flags"))
-                )
-            ).hexdigest()[:12]
+            _lines = b"\n".join(
+                ln for ln in _info.splitlines()
+                if ln.startswith((b"model name", b"flags"))
+            )
+            if not _lines:
+                # Non-x86 cpuinfo layouts (ARM: 'Features'/'CPU
+                # implementer') would otherwise hash empty — every such
+                # host would share one directory, re-opening the
+                # cross-host AOT hazard. Hash the whole file plus the
+                # machine arch instead.
+                import platform as _platform
+
+                _lines = _info + _platform.machine().encode()
+            _finger = _hashlib.sha256(_lines).hexdigest()[:12]
             _cache_dir = _os.path.join(_cache_dir, f"host-{_finger}")
         except OSError:  # pragma: no cover - non-Linux: unscoped dir
             pass

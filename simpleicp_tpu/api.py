@@ -422,7 +422,11 @@ class SimpleICP:
             import jax as _jax
             import jax.numpy as _jnp
 
-            if _jax.default_backend() != "cpu":
+            # Size-gated: the explicit block_until_ready is a synchronous
+            # tunnel barrier (~30 ms) that small runs must not pay — the
+            # stall it avoids only bites at multi-GB transfers.
+            if (_jax.default_backend() != "cpu"
+                    and len(Xf_run) + len(Xm_run) > 4_000_000):
                 _dt = (_jnp.float64 if _jax.config.jax_enable_x64
                        else _jnp.float32)
                 _t0 = time.time()

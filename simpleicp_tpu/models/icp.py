@@ -53,7 +53,12 @@ _zeros_cache: dict = {}
 
 
 def _zeros_const(shape, dtype):
-    key = (shape, jnp.dtype(dtype).name, jax.default_backend())
+    # The x64 flag is part of the key: with x64 off, jnp.zeros silently
+    # realizes float64 requests as float32 — caching that array under a
+    # 'float64' key would serve a wrong-dtype constant after the user
+    # enables x64 mid-process.
+    key = (shape, jnp.dtype(dtype).name, jax.default_backend(),
+           bool(jax.config.jax_enable_x64))
     arr = _zeros_cache.get(key)
     if arr is None:
         arr = _zeros_cache[key] = jnp.zeros(shape, dtype)
@@ -1094,6 +1099,7 @@ def _icp_run_chunked(Xf, Xm, obs_vals, obs_w, normals_fix, planarity_fix,
         )
     _slog = _dlog
 
+    first_chunk = True
     while True:
         it_before = int(carry.it)
         hi = min(T, it_before + K)
@@ -1113,7 +1119,12 @@ def _icp_run_chunked(Xf, Xm, obs_vals, obs_w, normals_fix, planarity_fix,
         )
         est = n_ran * per_iter_est
         if (per_iter_est > 0 and est > _STALL_MIN_EST_S
+                and not first_chunk
                 and chunk_wall > _STALL_FACTOR * est + _STALL_SLACK_S):
+            # first_chunk excluded: a cold process compiles the chunk
+            # program INLINE on its first call (minutes through the remote
+            # compiler) — timing it against the run-only estimate is the
+            # same compile/run conflation calibrate_guard had to fix.
             _slog.warning(
                 "chunk of %d iterations took %.1f s against a calibrated "
                 "estimate of %.1f s (%.0fx) — the worker is likely in a "
@@ -1122,6 +1133,7 @@ def _icp_run_chunked(Xf, Xm, obs_vals, obs_w, normals_fix, planarity_fix,
                 "are not representative.",
                 n_ran, chunk_wall, est, chunk_wall / max(est, 1e-9),
             )
+        first_chunk = False
         if done:
             break
 
@@ -1633,6 +1645,8 @@ def icp_register(
         )
         if (dispatch == "chunked" and not warm_requested
                 and per_iter_s > 1.0
+                and (rbp_observed_values is None
+                     or not np.any(np.asarray(rbp_observed_values)))
                 and (rbp_observation_weights is None
                      or not np.any(np.asarray(rbp_observation_weights)))):
             # Iterations dominate this run's cost, and a coarse-to-fine

@@ -42,6 +42,10 @@ def _load():
             "calibration artifact predates per-row health probes "
             "(regenerate with scripts/calibrate_guard.py)"
         )
+    assert not art.get("incomplete"), (
+        "calibration artifact is stamped incomplete (unhealthy rows) — "
+        "regenerate in a healthy window before shipping constants from it"
+    )
     return art
 
 
