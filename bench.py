@@ -102,6 +102,23 @@ def main():
     np.asarray(res.H)
     assert int(res.error_code) == 0 and bool(res.converged), "dragon must converge"
 
+    # Tunnel floor: dispatch+fetch latency of a trivial cached program in
+    # the SAME session as the headline (audit_small_path.py methodology).
+    # Every capture thereby self-reports its transport overhead — a number
+    # measured in a different session cannot be mislabeled as this capture's
+    # (round-4 verdict item 1: session drift must be quantifiable from the
+    # artifact alone). The algorithm's device time is roughly
+    # value - tunnel_floor_s.
+    tiny = jax.jit(lambda x: (x * 2.0).sum())
+    xd = jax.device_put(jnp.ones((8, 8), jnp.float32))
+    np.asarray(tiny(xd))  # compile
+    floors = []
+    for rep in range(9):
+        xi = jax.block_until_ready(xd + np.float32(rep))
+        t0 = time.perf_counter()
+        np.asarray(tiny(xi))
+        floors.append(time.perf_counter() - t0)
+
     # Timing methodology (CLAUDE.md / BENCHMARKS.md): vary inputs between
     # repeats (a fresh 1e-7 jitter of the movable cloud per run defeats any
     # result caching while leaving convergence behavior unchanged) and force a
@@ -140,6 +157,9 @@ def main():
                 "n_repeats": len(times),
                 "min": round(float(np.min(times)), 4),
                 "max": round(float(np.max(times)), 4),
+                "tunnel_floor_s": round(float(np.median(floors)), 4),
+                "tunnel_floor_min": round(float(np.min(floors)), 4),
+                "tunnel_floor_max": round(float(np.max(floors)), 4),
             }
         )
     )

@@ -289,6 +289,7 @@ class SimpleICP:
         warm_start: bool = False,
         warm_start_points: int = 1_000_000,
         warm_start_correspondences: int = 1000,
+        stall_policy: str = "warn",
         mesh=None,
         num_devices: int = 0,
     ) -> Tuple[np.ndarray, np.ndarray, RigidBodyParameters, np.ndarray]:
@@ -367,6 +368,7 @@ class SimpleICP:
             warm_start=warm_start,
             warm_start_points=warm_start_points,
             warm_start_correspondences=warm_start_correspondences,
+            stall_policy=stall_policy,
             record_trajectory=bool(debug_dirpath),
         )
 

@@ -157,6 +157,15 @@ def build_parser() -> argparse.ArgumentParser:
              "at --correspondences)",
     )
     p.add_argument(
+        "--stall-policy", choices=["warn", "wait"], default="warn",
+        help="chunked-dispatch behavior when a chunk overruns its "
+             "calibrated estimate (a degraded TPU worker window): warn "
+             "logs and continues; wait holds the next chunk until a "
+             "fresh-shape health probe answers ok (the device-resident "
+             "carry makes waiting free), so a stalled window cannot "
+             "silently multiply the run's wall time",
+    )
+    p.add_argument(
         "--probe-timeout", type=float, default=120.0,
         help="pre-flight accelerator health probe timeout in seconds for "
              "jobs routed to the accelerator (a degraded TPU worker hangs "
@@ -286,6 +295,7 @@ def main(argv=None) -> int:
         warm_start=args.warm_start,
         warm_start_points=args.warm_start_points,
         warm_start_correspondences=args.warm_start_correspondences,
+        stall_policy=args.stall_policy,
         num_devices=args.num_devices,
     )
     if args.export:

@@ -195,6 +195,21 @@ class IcpConfig:
     # the Q13 parity tests pin that f64 results are bit-identical either
     # way).
     convergence_floor_scale: float = 32.0
+    # Production policy when a chunked-dispatch chunk overruns its
+    # calibrated estimate — the signature of a degraded worker window (the
+    # round-4 #1 measured limiter: the SAME cached program intermittently
+    # runs 2-13x its healthy time; a 48 s job measured at 1298 s).
+    # "warn" (default): log the overrun and keep dispatching — correct, but
+    # a long window silently multiplies wall time. "wait": additionally
+    # HOLD the next chunk until a fresh-shape subprocess probe answers
+    # healthy (utils/device_policy.probe_default_backend) — the carry stays
+    # device-resident, so waiting costs nothing and loses nothing; the run
+    # stops feeding chunks into the stalled window and resumes the moment
+    # the worker heals. Cumulative stall-wait seconds are logged. The wait
+    # gives up after ~30 min of failed probes and proceeds (a worker that
+    # never heals should not deadlock the job). Only consulted by chunked
+    # dispatch on accelerator backends.
+    stall_policy: str = "warn"
     # Sharded overlap-gate collective strategy (parallel/sharded.py):
     # "ring" streams movable blocks/cell-lists around the mesh with ppermute
     # (constant per-device memory, comms interleaved with compute);
@@ -209,6 +224,12 @@ class IcpConfig:
     def __post_init__(self):
         if self.correspondences < 6:
             raise ValueError("correspondences must be >= 6")
+        if self.correspondences > 2**22:
+            # round_linspace's bit-exactness proof covers n <= 2^22
+            # (models/icp.py); beyond it the selection formula would be
+            # silently unproven against the reference
+            # (/root/reference/python/simpleicp/pointcloud.py:141-147).
+            raise ValueError("correspondences must be <= 2**22 (4194304)")
         if self.neighbors < 3:
             raise ValueError("neighbors must be >= 3 to estimate a normal")
         if not 0.0 <= self.min_planarity < 1.0:
@@ -243,6 +264,8 @@ class IcpConfig:
             raise ValueError("warm_start_points must be >= 100")
         if self.warm_start_correspondences < 6:
             raise ValueError("warm_start_correspondences must be >= 6")
+        if self.stall_policy not in ("warn", "wait"):
+            raise ValueError("stall_policy must be 'warn' or 'wait'")
         if self.gate_collective not in ("ring", "allgather"):
             raise ValueError("gate_collective must be 'ring' or 'allgather'")
         if self.convergence_floor_scale < 0:

@@ -56,9 +56,15 @@ def _zeros_const(shape, dtype):
     # The x64 flag is part of the key: with x64 off, jnp.zeros silently
     # realizes float64 requests as float32 — caching that array under a
     # 'float64' key would serve a wrong-dtype constant after the user
-    # enables x64 mid-process.
+    # enables x64 mid-process. The configured default device is part of the
+    # key too: on a multi-device host a `with jax.default_device(...)` switch
+    # mid-process would otherwise reuse constants committed to the old
+    # device, turning every dispatch into an implicit cross-device transfer
+    # (None = backend device 0, constant per backend, already keyed).
+    default_dev = jax.config.jax_default_device
     key = (shape, jnp.dtype(dtype).name, jax.default_backend(),
-           bool(jax.config.jax_enable_x64))
+           bool(jax.config.jax_enable_x64),
+           None if default_dev is None else str(default_dev))
     arr = _zeros_cache.get(key)
     if arr is None:
         arr = _zeros_cache[key] = jnp.zeros(shape, dtype)
@@ -152,17 +158,25 @@ def round_linspace(n_sel: jnp.ndarray, n: int) -> jnp.ndarray:
       * for non-tie slots (2r != div), round by comparing 2r vs div: the
         float64 value deviates from the exact rational i*span/div by at most
         2^-52 * span, which cannot cross a half-integer boundary while
-        span*div < 2^51 — always true for n <= 2^20+1, n_sel < 2^31;
+        span*div < 2^51 — always true for n <= 2^20+1 with any n_sel < 2^31,
+        and for 2^20+1 < n <= 2^22 whenever (n_sel-1)*(n-1) < 2^51
+        (~5.4e8 points at n=2^22; icp_register enforces this bound
+        host-side, so no silently-unproven configuration can dispatch);
       * for exact-tie slots (i*span/div = q + 1/2), emulate numpy's two
         roundings in integers: the step error e1 = fl64(span/div) - span/div
         has magnitude rho/(div*2^k) (rho, k from the 53-bit division
         remainder, computed by modular doubling), and the product rounding
         returns the value to exactly q+1/2 iff i*|e1| <= ulp(q+1/2)/2 —
         a pure integer comparison 2*i*rho vs div*2^(beta-a-2) done in
-        15-bit limbs. Validated against numpy on 250 full sweeps plus 20k
-        constructed tie slots (round-3 model check).
+        15-bit limbs (lhs = 2*seq*rho < 2^45, rhs = div << s_sh with
+        s_sh <= bitlength(div) <= 22, both within three 15-bit limbs for
+        any n <= 2^22). Validated against numpy on 250 full sweeps plus 20k
+        constructed tie slots (round-3 model check) and, for the extended
+        2^20+1 < n <= 2^22 range, 45 sweeps incl. constructed cases with
+        >1M exact ties each (round-5, zero mismatches).
 
-    Domain: 6 <= n <= 2^20+1, 0 <= n_sel < 2^31. Returns (n,) int32.
+    Domain: 6 <= n <= 2^22, 0 <= n_sel < 2^31, (n_sel-1)*(n-1) < 2^51.
+    Returns (n,) int32.
     """
     div = n - 1  # static
     i32 = jnp.int32
@@ -245,6 +259,27 @@ def round_linspace(n_sel: jnp.ndarray, n: int) -> jnp.ndarray:
                   jnp.where(w_gt, q, even_round)),
     )
     return jnp.where(2 * r == div, tie_res, base)
+
+
+def _check_round_linspace_domain(correspondences: int, nf: int) -> None:
+    """Host-side guard of round_linspace's proven bit-exactness envelope.
+
+    IcpConfig bounds correspondences <= 2^22; the extended range
+    (2^20+1, 2^22] additionally needs (n_sel-1)*(C-1) < 2^51 for the
+    non-tie rounding proof (round_linspace docstring). n_sel (the post-gate
+    selected count) is dynamic, but n_sel <= nf, so checking against the
+    fixed-cloud size is conservative and static. Raising here (instead of
+    silently leaving the proven envelope) keeps the framework's standard:
+    every dispatched selection is proof-covered, not spot-checked."""
+    C = int(correspondences)
+    if C > 2**20 + 1 and (nf - 1) * (C - 1) >= 2**51:
+        raise ValueError(
+            f"correspondences={C} with a {nf}-point fixed cloud leaves the "
+            "proven bit-exactness domain of the reference selection formula "
+            "((n_points-1)*(correspondences-1) must stay below 2^51 when "
+            "correspondences exceeds 2^20+1). Reduce `correspondences` or "
+            "pre-select fewer fixed points."
+        )
 
 
 def _select_n(sel_mask: jnp.ndarray, n: int):
@@ -935,8 +970,20 @@ def _knn_grid_normals(Q, Xf, cfg: IcpConfig, knn_block: int):
             Xf.shape[0] / TPU_SORT_ELEMS_PER_SEC
             + blk2_est * 27.0 * cap_hi_est * 3.0 / TPU_GATHER_ELEMS_PER_SEC
         )
+        # Price dense as the dense patch actually executes: the patch loop
+        # below splits `failed` into knn_block-sized sub-blocks, each padded
+        # to its own power of two — one blk2_est-sized block would
+        # under-price dense near the decision boundary whenever
+        # failed.size > knn_block (both paths stay bit-identical; pricing
+        # only picks the faster one).
+        _blk_cap = knn_block if knn_block > 0 else C
+        dense_rows = sum(
+            max(512, 1 << (min(_blk_cap, int(failed.size) - s) - 1)
+                .bit_length())
+            for s in range(0, int(failed.size), _blk_cap)
+        )
         dense_est = (
-            blk2_est * float(Xf.shape[0])
+            dense_rows * float(Xf.shape[0])
             / (TPU_KNN10_PAIRS_PER_SEC * 10.0 / cfg.neighbors)
         )
         if dense_est < regrid_est:
@@ -1026,29 +1073,37 @@ def _icp_run_chunked(Xf, Xm, obs_vals, obs_w, normals_fix, planarity_fix,
 
     _dlog = _logging.getLogger(__name__)
 
+    # The per-stage barriers below exist ONLY to attribute wall time to
+    # prologue stages for the DEBUG timing lines; each is a host sync
+    # (~30 ms through the tunnel). Gate them on the logger level so
+    # non-debug runs keep the async dispatch pipeline (round-4 advisor).
+    _dbg = _dlog.isEnabledFor(_logging.DEBUG)
     if (knn_block > 0 or knn_grid) and not has_normals:
         _tp = _time.perf_counter()
         Q, sel_idx, sel_valid, error, H0, grid = _icp_gate_select_jit(
             Xf, Xm, obs_vals, ext_sel_mask,
             cfg=cfg, has_ext_sel=has_ext_sel, build_grid=use_grid,
         )
-        jax.block_until_ready(Q)
-        _dlog.debug(
-            "timing: chunked prologue gate/select %.2f s",
-            _time.perf_counter() - _tp,
-        )
+        if _dbg:
+            jax.block_until_ready(Q)
+            _dlog.debug(
+                "timing: chunked prologue gate/select %.2f s",
+                _time.perf_counter() - _tp,
+            )
         C = cfg.correspondences
         normals = planarity = None
         if knn_grid:
             _tp = _time.perf_counter()
             normals, planarity = _knn_grid_normals(Q, Xf, cfg, knn_block)
-            if normals is not None:
-                jax.block_until_ready(normals)
-            _dlog.debug(
-                "timing: chunked prologue grid-kNN normals %.2f s%s",
-                _time.perf_counter() - _tp,
-                "" if normals is not None else " (uneconomical, fallback)",
-            )
+            if _dbg:
+                if normals is not None:
+                    jax.block_until_ready(normals)
+                _dlog.debug(
+                    "timing: chunked prologue grid-kNN normals %.2f s%s",
+                    _time.perf_counter() - _tp,
+                    "" if normals is not None
+                    else " (uneconomical, fallback)",
+                )
         if normals is None:
             # dense kNN in bounded query-block programs
             _tp = _time.perf_counter()
@@ -1063,11 +1118,12 @@ def _icp_run_chunked(Xf, Xm, obs_vals, obs_w, normals_fix, planarity_fix,
             ]
             normals = jnp.concatenate([p[0] for p in parts])[:C]
             planarity = jnp.concatenate([p[1] for p in parts])[:C]
-            jax.block_until_ready(normals)
-            _dlog.debug(
-                "timing: chunked prologue dense-kNN blocks %.2f s",
-                _time.perf_counter() - _tp,
-            )
+            if _dbg:
+                jax.block_until_ready(normals)
+                _dlog.debug(
+                    "timing: chunked prologue dense-kNN blocks %.2f s",
+                    _time.perf_counter() - _tp,
+                )
     else:
         (Q, normals, planarity, sel_idx, sel_valid, error, H0, grid
          ) = _icp_prologue_jit(
@@ -1077,27 +1133,20 @@ def _icp_run_chunked(Xf, Xm, obs_vals, obs_w, normals_fix, planarity_fix,
         )
     carry = make_carry_init(cfg, dtype, obs_vals.astype(dtype), H0, error)
 
-    # Stall-window observability (round-4 finding: the SAME cached chunk
+    # Stall-window detection (round-4 finding: the SAME cached chunk
     # program intermittently runs 2-13x its healthy time inside a degraded
     # worker window — gated 50M reps of 25.6 vs 106.4 s, a 48 s headline
     # rep at 1298 s). The chunk boundary is the natural detection point:
-    # compare each chunk's wall against the calibrated per-iteration model
-    # and WARN, so a production run inside a window is diagnosed live
-    # instead of silently slow. (Estimates are only priced for the
-    # accelerator path; CPU runs skip the check.)
-    per_iter_est = 0.0
-    if jax.default_backend() != "cpu":
-        from ..utils.device_policy import estimate_tpu_stage_seconds
-
-        _, _, _, per_iter_est = estimate_tpu_stage_seconds(
-            Xf.shape[0], Xm.shape[0],
-            correspondences=cfg.correspondences,
-            neighbors=cfg.neighbors,
-            match_method=cfg.match_method,
-            match_cell_cap=cfg.match_cell_cap,
-            has_normals=has_normals,
-        )
+    # compare each chunk's wall against the calibrated per-iteration model.
+    # Policy (cfg.stall_policy): "warn" diagnoses the window live; "wait"
+    # additionally holds the next dispatch until a fresh-shape subprocess
+    # probe answers healthy — the device-resident carry makes waiting free
+    # and correct, so a degraded window no longer silently multiplies a
+    # production run's wall time (round-4 verdict item 2).
+    per_iter_est = _chunk_per_iter_estimate(cfg, Xf.shape[0], Xm.shape[0],
+                                            has_normals)
     _slog = _dlog
+    stall_wait_total = 0.0
 
     first_chunk = True
     while True:
@@ -1128,14 +1177,32 @@ def _icp_run_chunked(Xf, Xm, obs_vals, obs_w, normals_fix, planarity_fix,
             _slog.warning(
                 "chunk of %d iterations took %.1f s against a calibrated "
                 "estimate of %.1f s (%.0fx) — the worker is likely in a "
-                "degraded window (post-big-job stall; CLAUDE.md). The run "
-                "continues and stays correct, but wall times measured now "
-                "are not representative.",
+                "degraded window (post-big-job stall; CLAUDE.md). "
+                "%s Wall times measured now are not representative.",
                 n_ran, chunk_wall, est, chunk_wall / max(est, 1e-9),
+                "Holding the next chunk until a probe answers healthy "
+                "(stall_policy='wait')." if cfg.stall_policy == "wait"
+                and not done else
+                "The run continues and stays correct "
+                "(stall_policy='warn').",
             )
+            if cfg.stall_policy == "wait" and not done:
+                waited = _wait_for_healthy_window(_slog)
+                stall_wait_total += waited
+                _slog.warning(
+                    "stall_policy='wait': held dispatch %.0f s "
+                    "(cumulative stall-wait %.0f s this run); resuming "
+                    "at iteration %d with the device-resident carry.",
+                    waited, stall_wait_total, int(carry.it),
+                )
         first_chunk = False
         if done:
             break
+    if stall_wait_total > 0:
+        _slog.warning(
+            "registration finished; total stall-wait %.0f s across "
+            "degraded windows (stall_policy='wait').", stall_wait_total,
+        )
 
     return IcpResult(
         H=carry.H,
@@ -1183,6 +1250,72 @@ MATCH_AUTO_PAIR_BUDGET = 2**38
 _STALL_FACTOR = 4.0
 _STALL_SLACK_S = 5.0
 _STALL_MIN_EST_S = 0.5
+# stall_policy="wait" probe loop: each probe is a fresh-shape subprocess
+# compile+run under _STALL_WAIT_PROBE_TIMEOUT_S (cached programs still run
+# on a degraded worker — only a FRESH shape proves health); failed probes
+# retry every _STALL_WAIT_SLEEP_S until _STALL_WAIT_BUDGET_S, then the run
+# proceeds into the window rather than deadlock (workers usually heal in
+# 5-10 min after a crash, up to ~an hour after very large jobs — CLAUDE.md).
+_STALL_WAIT_PROBE_TIMEOUT_S = 120.0
+_STALL_WAIT_SLEEP_S = 30.0
+_STALL_WAIT_BUDGET_S = 1800.0
+
+
+def _chunk_per_iter_estimate(cfg: IcpConfig, nf: int, nm: int,
+                             has_normals: bool) -> float:
+    """Calibrated per-iteration seconds for the chunk stall check.
+
+    Returns 0.0 on CPU backends (no degraded windows there), which
+    disables detection. Module-level so tests can monkeypatch a synthetic
+    estimate and drive the stall paths on CPU."""
+    if jax.default_backend() == "cpu":
+        return 0.0
+    from ..utils.device_policy import estimate_tpu_stage_seconds
+
+    _, _, _, per_iter = estimate_tpu_stage_seconds(
+        nf, nm,
+        correspondences=cfg.correspondences,
+        neighbors=cfg.neighbors,
+        match_method=cfg.match_method,
+        match_cell_cap=cfg.match_cell_cap,
+        has_normals=has_normals,
+    )
+    return per_iter
+
+
+def _wait_for_healthy_window(log) -> float:
+    """stall_policy="wait": block until the default backend answers a
+    fresh-shape subprocess probe (utils/device_policy.probe_default_backend
+    — safe to call mid-run: the probe is a SUBPROCESS, so a hung worker
+    cannot wedge this process), or until the wait budget runs out.
+
+    Returns seconds spent waiting. The chunk carry is device-resident HBM
+    state, untouched by waiting, so this is free and bit-neutral."""
+    import time as _t
+
+    from ..utils.device_policy import probe_default_backend
+
+    t0 = _t.monotonic()
+    deadline = t0 + _STALL_WAIT_BUDGET_S
+    attempt = 0
+    while True:
+        attempt += 1
+        status, _backend, psec = probe_default_backend(
+            _STALL_WAIT_PROBE_TIMEOUT_S
+        )
+        log.info(
+            "stall probe %d: %s in %.1f s", attempt, status, psec,
+        )
+        if status == "ok":
+            return _t.monotonic() - t0
+        if _t.monotonic() + _STALL_WAIT_SLEEP_S >= deadline:
+            log.warning(
+                "stall_policy='wait': no healthy probe within the %.0f s "
+                "budget; proceeding into the degraded window.",
+                _STALL_WAIT_BUDGET_S,
+            )
+            return _t.monotonic() - t0
+        _t.sleep(_STALL_WAIT_SLEEP_S)
 
 
 def resolve_match_method(cfg: IcpConfig, n_queries: int, n_mov: int) -> IcpConfig:
@@ -1372,6 +1505,7 @@ def icp_register(
     Xm = jnp.asarray(X_mov, dtype)
     if Xf.ndim != 2 or Xf.shape[1] != 3 or Xm.ndim != 2 or Xm.shape[1] != 3:
         raise ValueError("point clouds must have shape (n, 3)")
+    _check_round_linspace_domain(cfg.correspondences, Xf.shape[0])
 
     warm_requested = cfg.warm_start
     if cfg.warm_start:

@@ -728,6 +728,15 @@ def icp_register_sharded(
     ndev = int(np.prod(mesh.devices.shape))
     axis = mesh.axis_names[0]
 
+    # The distributed selection reuses round_linspace with the global
+    # selected count; the same proven-domain guard as the single-chip
+    # driver applies (models/icp.py).
+    from ..models.icp import _check_round_linspace_domain
+
+    _check_round_linspace_domain(
+        cfg.correspondences, np.asarray(X_fix).shape[0]
+    )
+
     # Same NN ref-tile auto-scaling as the single-chip driver, but against
     # the per-shard movable block size (the scan per device runs over its
     # local rows only).

@@ -63,7 +63,12 @@ def _healthy_rates(rows, key, min_seconds=0.5):
 def _check_envelope(shipped, rates, name):
     assert rates, f"no healthy rows for {name}"
     fastest, slowest = max(rates), min(rates)
-    assert shipped <= fastest, (
+    # 5% jitter tolerance on the optimism bound (like the gather check):
+    # a regeneration in a slightly-slower-but-healthy window must not fail
+    # on normal run-to-run jitter, only on genuine constants drift
+    # (round-4 advisor: the shipped sweep rate sits ~2% under the fastest
+    # committed measurement).
+    assert shipped <= fastest * 1.05, (
         f"{name}: shipped rate {shipped:.3e} is OPTIMISTIC vs fastest "
         f"healthy measurement {fastest:.3e} — the planner would dispatch "
         f"over-budget programs"

@@ -335,3 +335,77 @@ def test_chunk_stall_warning(rng, caplog, monkeypatch):
     assert int(res.error_code) == 0
     warned = [r for r in caplog.records if "degraded window" in r.message]
     assert warned, "stall warning did not fire with zeroed margins"
+
+
+def test_chunk_stall_policy_wait(rng, caplog, monkeypatch):
+    """stall_policy='wait' (round-4 verdict item 2): after a detected
+    overrun, the dispatcher must HOLD the next chunk until the health probe
+    answers ok — retrying failed probes — then resume with the
+    device-resident carry (results unchanged) and log cumulative
+    stall-wait seconds. Probes are faked so the wait path runs on CPU."""
+    import logging
+
+    import jax.numpy as jnp
+
+    from simpleicp_tpu.models import icp as icp_core
+    from simpleicp_tpu.models.icp import _icp_run_chunked
+    from simpleicp_tpu.utils import device_policy
+
+    X_fix = _surface(rng, 4000)
+    X_mov = X_fix - np.array([0.03, 0.02, -0.01])
+    monkeypatch.setattr(icp_core.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(
+        "simpleicp_tpu.utils.device_policy.estimate_tpu_stage_seconds",
+        lambda *a, **k: (0.0, 0.0, 0.0, 1.0),
+    )
+    # Zeroed margins: every post-first chunk counts as an overrun.
+    monkeypatch.setattr(icp_core, "_STALL_FACTOR", 0.0)
+    monkeypatch.setattr(icp_core, "_STALL_SLACK_S", 0.0)
+    monkeypatch.setattr(icp_core, "_STALL_MIN_EST_S", 0.0)
+    monkeypatch.setattr(icp_core, "_STALL_WAIT_SLEEP_S", 0.0)
+    monkeypatch.setattr(icp_core, "_STALL_WAIT_BUDGET_S", 30.0)
+
+    probes = []
+
+    def fake_probe(timeout_s):
+        # first probe of each hold answers timeout (still degraded), the
+        # retry answers ok — exercising the retry loop
+        probes.append(timeout_s)
+        return ("ok" if len(probes) % 2 == 0 else "timeout", "tpu", 0.01)
+
+    monkeypatch.setattr(device_policy, "probe_default_backend", fake_probe)
+
+    dt = jnp.float64
+    args = (
+        jnp.asarray(X_fix, dt), jnp.asarray(X_mov, dt),
+        jnp.zeros(6, dt), jnp.zeros(6, dt),
+        jnp.zeros((1, 3), dt), jnp.zeros((1,), dt), jnp.zeros((1,), dt),
+        jnp.zeros((1,), bool),
+    )
+    cfg_warn = IcpConfig(correspondences=256)
+    cfg_wait = dataclasses.replace(cfg_warn, stall_policy="wait")
+    kw = dict(has_normals=False, has_mov_planarity=False, has_ext_sel=False,
+              chunk_iters=1, knn_block=0, knn_grid=False)
+
+    with caplog.at_level(logging.INFO, logger="simpleicp_tpu"):
+        res_wait = _icp_run_chunked(*args, cfg=cfg_wait, **kw)
+    assert int(res_wait.error_code) == 0
+    # the probe loop engaged (>= 2 calls: a failed probe + its ok retry)
+    assert len(probes) >= 2 and len(probes) % 2 == 0, probes
+    held = [r for r in caplog.records if "Holding the next chunk" in r.message]
+    assert held, "wait policy did not announce the hold"
+    cum = [r for r in caplog.records
+           if "cumulative stall-wait" in r.message]
+    assert cum, "cumulative stall-wait seconds were not logged"
+    total = [r for r in caplog.records if "total stall-wait" in r.message]
+    assert total, "end-of-run stall-wait summary missing"
+
+    # bit-neutrality: waiting must not change any result field
+    probes.clear()
+    caplog.clear()
+    res_warn = _icp_run_chunked(*args, cfg=cfg_warn, **kw)
+    assert not probes, "stall_policy='warn' must never probe"
+    for field in res_wait._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(res_wait, field)),
+            np.asarray(getattr(res_warn, field)), err_msg=field)

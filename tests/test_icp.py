@@ -244,6 +244,15 @@ def test_round_linspace_bit_equality_sweep():
         (1024, 33_554_432),
         (4097, 2**27 + 13),
         (65_536, 2**30 + 1),
+        # extended proof domain (round-5): 2^20+1 < C <= 2^22, valid while
+        # (n_sel-1)*(C-1) < 2^51. Constructed tie-heavy cases put an exact
+        # half at every odd slot (div even, span = div/2 mod div) — >1M
+        # exact ties per sweep exercising the numpy-tie emulation at the
+        # top of the domain.
+        (2**21, 100_000_000),
+        (2**22, 99_999_999),
+        (2**21 + 1, 99_614_721),   # 1_048_576 exact ties (span=47.5*div)
+        (2**22 - 1, 98_566_098),   # 2_097_151 exact ties (span=23.5*div)
     ]
     rng = np.random.default_rng(123)
     for _ in range(10):
@@ -255,6 +264,29 @@ def test_round_linspace_bit_equality_sweep():
         got = np.asarray(fn(jnp.int32(n_sel), C), np.int64)
         ref = np.round(np.linspace(0, n_sel - 1, C)).astype(np.int64)
         np.testing.assert_array_equal(got, ref, err_msg=f"C={C} n_sel={n_sel}")
+
+
+def test_round_linspace_domain_enforced():
+    """No silently-unproven selection configuration may exist (round-4
+    verdict): IcpConfig rejects correspondences beyond the proof's 2^22
+    ceiling, and the dispatch-time guard rejects extended-domain C whose
+    (nf-1)*(C-1) product leaves the non-tie rounding envelope (2^51)."""
+    import pytest
+
+    from simpleicp_tpu import IcpConfig
+    from simpleicp_tpu.models.icp import _check_round_linspace_domain
+
+    with pytest.raises(ValueError, match="2\\*\\*22"):
+        IcpConfig(correspondences=2**22 + 1)
+    IcpConfig(correspondences=2**22)  # top of domain is valid
+
+    # C <= 2^20+1: any int32 cloud size is proven — no raise even at 2^31-ish
+    _check_round_linspace_domain(2**20 + 1, 2**31 - 1)
+    # extended domain: fine while (nf-1)*(C-1) < 2^51 ...
+    _check_round_linspace_domain(2**22, 2**29)  # (2^29-1)*(2^22-1) < 2^51
+    # ... rejected past the boundary ((2^29+199)*(2^22-1) > 2^51)
+    with pytest.raises(ValueError, match="proven bit-exactness"):
+        _check_round_linspace_domain(2**22, 2**29 + 200)
 
 
 def test_select_n_big_c_overflow_regression(rng):

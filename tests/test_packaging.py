@@ -1,0 +1,86 @@
+"""Packaging smoke (round-4 verdict item 7): the P9/C4 surface beyond file
+existence — `pip install -e .` into a fresh venv must produce a working
+`simpleicp-tpu` console script (reference: /root/reference/python/setup.py:1-26
+installs `simpleicp`; our pyproject.toml declares the console script).
+
+The test environment's interpreter is itself a venv with no network, so the
+fresh venv bridges to the host environment's site-packages via a .pth file
+(for jax/numpy/setuptools) and installs with --no-build-isolation. That
+still exercises the real packaging path: pyproject metadata -> setuptools
+editable build -> entry-point script generation -> import of the installed
+package from a foreign interpreter prefix.
+"""
+
+import os
+import subprocess
+import sys
+import sysconfig
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(__file__))
+DATA = "/root/reference/data"
+
+
+@pytest.fixture(scope="module")
+def venv_bin(tmp_path_factory):
+    venv = tmp_path_factory.mktemp("pkg") / "venv"
+    subprocess.run(
+        [sys.executable, "-m", "venv", str(venv)], check=True, timeout=300
+    )
+    # bridge to the host env's site-packages (deps are baked in there; the
+    # image has no package index access)
+    host_sp = sysconfig.get_paths()["purelib"]
+    pyver = f"python{sys.version_info[0]}.{sys.version_info[1]}"
+    sp = venv / "lib" / pyver / "site-packages"
+    (sp / "_host_env.pth").write_text(host_sp + "\n")
+    r = subprocess.run(
+        [str(venv / "bin" / "python"), "-m", "pip", "install", "-e", ROOT,
+         "--no-deps", "--no-build-isolation", "--quiet"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, f"pip install -e failed:\n{r.stderr[-2000:]}"
+    return venv / "bin"
+
+
+def test_console_script_version(venv_bin):
+    exe = venv_bin / "simpleicp-tpu"
+    assert exe.exists(), "console script was not generated"
+    r = subprocess.run(
+        [str(exe), "--version"], capture_output=True, text=True, timeout=120
+    )
+    assert r.returncode == 0, r.stderr
+    from simpleicp_tpu import __version__
+
+    assert r.stdout.strip() == f"simpleicp-tpu {__version__}"
+
+
+def test_console_script_registers_bunny(venv_bin, tmp_path):
+    """Full reference CLI contract through the INSTALLED entry point (not
+    `python -m`): bunny with the overlap gate, exact stdout milestones and
+    a plausible alpha3 (~10 deg, BASELINE.md trace)."""
+    if not os.path.exists(f"{DATA}/bunny_part1.xyz"):
+        pytest.skip("reference data not present")
+    out = tmp_path / "out.xyz"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [str(venv_bin / "simpleicp-tpu"),
+         "-f", f"{DATA}/bunny_part1.xyz", "-m", f"{DATA}/bunny_part2.xyz",
+         "-o", "1", "--device", "cpu", "--export", str(out)],
+        capture_output=True, text=True, timeout=600, env=env, cwd=tmp_path,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    # the reference's handler is logging.StreamHandler() = stderr and its
+    # harness parses merged streams (benchmark.sh `2>&1`); match that scope
+    text = r.stdout + r.stderr
+    assert "Select points for correspondences in fixed point cloud ..." in text
+    assert "Estimate normals of selected points ..." in text
+    assert "Convergence criteria fulfilled -> stop iteration!" in text
+    assert "Estimated transformation matrix H:" in text
+    import re
+
+    m = re.search(r"alpha3 \|\s+(-?\d+\.\d+)", text)
+    assert m, "rbp table missing alpha3 row"
+    assert abs(float(m.group(1)) - 10.0) < 0.1, m.group(1)
+    assert re.search(r"Finished in \d+\.\d{3} seconds!", text)
+    assert out.exists() and out.stat().st_size > 100_000
