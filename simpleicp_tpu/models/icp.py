@@ -1878,6 +1878,7 @@ def icp_register_batch(
         raise ValueError("batched clouds must have shape (B, n, 3)")
     if Xf.shape[0] != Xm.shape[0]:
         raise ValueError("batch sizes of fixed and movable clouds differ")
+    _check_round_linspace_domain(cfg.correspondences, Xf.shape[1])
     B = Xf.shape[0]
 
     # Batch mode always runs the lax kernels: vmap adds a batch dimension
