@@ -148,49 +148,71 @@ def case_vpu(out, args):
     print(json.dumps(out["vpu_attainable"]), flush=True)
 
 
-def case_dragon(out, args):
-    import jax
-    import jax.numpy as jnp
+def _case_small(name):
+    """Per-dataset device-time measurement for the reference-sized configs
+    (dataset kwargs shared with scripts/benchmark.py DATASETS)."""
 
-    from simpleicp_tpu import IcpConfig
-    from simpleicp_tpu.models.icp import icp_register
-    from simpleicp_tpu.utils.xyz_io import read_xyz
+    def run_case(out, args):
+        import jax
+        import jax.numpy as jnp
 
-    X_fix = jnp.asarray(read_xyz("/root/reference/data/dragon1.xyz"),
-                        jnp.float32)
-    X_mov = jnp.asarray(read_xyz("/root/reference/data/dragon2.xyz"),
-                        jnp.float32)
-    jax.block_until_ready((X_fix, X_mov))
-    cfg = IcpConfig()
-    res = icp_register(X_fix, X_mov, cfg)  # compile
-    np.asarray(res.H)
-    assert int(res.error_code) == 0
+        from benchmark import DATASETS
+        from simpleicp_tpu import IcpConfig
+        from simpleicp_tpu.models.icp import icp_register
+        from simpleicp_tpu.utils.xyz_io import read_xyz
 
-    rng = np.random.default_rng(0)
-    reps = 5
-    jitters = [
-        jax.block_until_ready(
-            X_mov + jnp.asarray(rng.uniform(-1e-7, 1e-7, (1, 3)), jnp.float32))
-        for _ in range(reps)
-    ]
+        fixed, movable, kw = DATASETS[name]
+        X_fix = jnp.asarray(read_xyz(f"/root/reference/data/{fixed}"),
+                            jnp.float32)
+        X_mov = jnp.asarray(read_xyz(f"/root/reference/data/{movable}"),
+                            jnp.float32)
+        jax.block_until_ready((X_fix, X_mov))
+        kw = dict(kw)
+        obs_vals = np.array(kw.pop("rbp_observed_values", (0.0,) * 6),
+                            np.float64)
+        obs_vals[:3] = np.deg2rad(obs_vals[:3])
+        obs_w = np.array(kw.pop("rbp_observation_weights", (0.0,) * 6),
+                         np.float64)
+        cfg = IcpConfig(**kw)
 
-    def run():
-        for Xm in jitters:
-            np.asarray(icp_register(X_fix, Xm, cfg).H)
+        def go(Xm):
+            return icp_register(X_fix, Xm, cfg,
+                                rbp_observed_values=obs_vals,
+                                rbp_observation_weights=obs_w)
 
-    ops_tab, modules = _traced(args.logdir + "/dragon", run)
-    table = _op_table(ops_tab, reps)
-    out["dragon"] = {
-        "n_reps": reps,
-        "per_op_device_us": table,
-        # authoritative: each module launch's device residency, counted once
-        "total_device_us_per_registration": round(
-            sum(v["us"] for v in modules.values()) / reps, 1),
-        "module_totals_us": {
-            k: round(v["us"] / reps, 1) for k, v in modules.items()
-        },
-    }
-    print(json.dumps(out["dragon"], indent=1), flush=True)
+        res = go(X_mov)  # compile
+        np.asarray(res.H)
+        assert int(res.error_code) == 0
+
+        rng = np.random.default_rng(0)
+        reps = 5
+        jitters = [
+            jax.block_until_ready(
+                X_mov + jnp.asarray(rng.uniform(-1e-7, 1e-7, (1, 3)),
+                                    jnp.float32))
+            for _ in range(reps)
+        ]
+
+        def run():
+            for Xm in jitters:
+                np.asarray(go(Xm).H)
+
+        ops_tab, modules = _traced(args.logdir + f"/{name}", run)
+        table = _op_table(ops_tab, reps)
+        out[name] = {
+            "n_reps": reps,
+            "iterations": int(res.n_iterations),
+            "per_op_device_us": table,
+            # authoritative: each launch's device residency, counted once
+            "total_device_us_per_registration": round(
+                sum(v["us"] for v in modules.values()) / reps, 1),
+            "module_totals_us": {
+                k: round(v["us"] / reps, 1) for k, v in modules.items()
+            },
+        }
+        print(json.dumps(out[name], indent=1), flush=True)
+
+    return run_case
 
 
 def case_bigc(out, args):
@@ -278,10 +300,12 @@ def main():
     import jax
 
     out["backend"] = jax.default_backend()
+    cases = {"vpu": case_vpu, "bigc": case_bigc}
+    for ds in ("dragon", "bunny", "multisensor", "webots"):
+        cases[ds] = _case_small(ds)
     for case in args.cases.split(","):
         t0 = time.perf_counter()
-        {"vpu": case_vpu, "dragon": case_dragon, "bigc": case_bigc}[case](
-            out, args)
+        cases[case](out, args)
         print(f"[{case}] done in {time.perf_counter() - t0:.1f} s",
               flush=True)
 
