@@ -157,9 +157,11 @@ def main():
                 "n_repeats": len(times),
                 "min": round(float(np.min(times)), 4),
                 "max": round(float(np.max(times)), 4),
-                "tunnel_floor_s": round(float(np.median(floors)), 4),
-                "tunnel_floor_min": round(float(np.min(floors)), 4),
-                "tunnel_floor_max": round(float(np.max(floors)), 4),
+                # 6 decimals: a local backend's floor is tens of
+                # microseconds and must not round to 0.0
+                "tunnel_floor_s": round(float(np.median(floors)), 6),
+                "tunnel_floor_min": round(float(np.min(floors)), 6),
+                "tunnel_floor_max": round(float(np.max(floors)), 6),
             }
         )
     )
