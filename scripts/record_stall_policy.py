@@ -91,6 +91,8 @@ def main() -> int:
     out["compile_pass_seconds"] = round(time.perf_counter() - t0, 2)
     assert int(res0.error_code) == 0
 
+    orig_margins = (icp_core._STALL_FACTOR, icp_core._STALL_SLACK_S,
+                    icp_core._STALL_MIN_EST_S, icp_core._STALL_WAIT_SLEEP_S)
     if args.force:
         # a healthy chunk then reads as a >1x overrun: the policy engages
         # on real hardware with the REAL subprocess probe
@@ -112,11 +114,11 @@ def main() -> int:
                          for r in cap.records)
 
     # bit-neutrality on silicon: the same perturbed input under the stock
-    # 'warn' policy (margins restored) must produce the identical H —
-    # holding dispatch between chunks cannot touch the math
-    icp_core._STALL_FACTOR = 4.0
-    icp_core._STALL_SLACK_S = 5.0
-    icp_core._STALL_MIN_EST_S = 0.5
+    # 'warn' policy (the SAVED shipped margins restored — re-hardcoding
+    # them here would silently diverge if models/icp.py retunes them) must
+    # produce the identical H — holding dispatch cannot touch the math
+    (icp_core._STALL_FACTOR, icp_core._STALL_SLACK_S,
+     icp_core._STALL_MIN_EST_S, icp_core._STALL_WAIT_SLEEP_S) = orig_margins
     res_warn = icp_register(
         X_fix, Xm_i,
         IcpConfig(correspondences=C, warm_start=True, stall_policy="warn",

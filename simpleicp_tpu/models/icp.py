@@ -1174,17 +1174,21 @@ def _icp_run_chunked(Xf, Xm, obs_vals, obs_w, normals_fix, planarity_fix,
             # program INLINE on its first call (minutes through the remote
             # compiler) — timing it against the run-only estimate is the
             # same compile/run conflation calibrate_guard had to fix.
+            if cfg.stall_policy == "wait":
+                action = ("Holding the next chunk until a probe answers "
+                          "healthy (stall_policy='wait')." if not done else
+                          "Final chunk — nothing left to hold "
+                          "(stall_policy='wait').")
+            else:
+                action = ("The run continues and stays correct "
+                          "(stall_policy='warn').")
             _slog.warning(
                 "chunk of %d iterations took %.1f s against a calibrated "
                 "estimate of %.1f s (%.0fx) — the worker is likely in a "
                 "degraded window (post-big-job stall; CLAUDE.md). "
                 "%s Wall times measured now are not representative.",
                 n_ran, chunk_wall, est, chunk_wall / max(est, 1e-9),
-                "Holding the next chunk until a probe answers healthy "
-                "(stall_policy='wait')." if cfg.stall_policy == "wait"
-                and not done else
-                "The run continues and stays correct "
-                "(stall_policy='warn').",
+                action,
             )
             if cfg.stall_policy == "wait" and not done:
                 waited = _wait_for_healthy_window(_slog)

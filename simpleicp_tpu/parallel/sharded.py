@@ -730,12 +730,12 @@ def icp_register_sharded(
 
     # The distributed selection reuses round_linspace with the global
     # selected count; the same proven-domain guard as the single-chip
-    # driver applies (models/icp.py).
+    # driver applies (models/icp.py). np.shape reads the length without
+    # materializing a device-resident cloud host-side (CLAUDE.md: a
+    # np.asarray here would be a hidden full device->host fetch).
     from ..models.icp import _check_round_linspace_domain
 
-    _check_round_linspace_domain(
-        cfg.correspondences, np.asarray(X_fix).shape[0]
-    )
+    _check_round_linspace_domain(cfg.correspondences, np.shape(X_fix)[0])
 
     # Same NN ref-tile auto-scaling as the single-chip driver, but against
     # the per-shard movable block size (the scan per device runs over its
@@ -743,7 +743,8 @@ def icp_register_sharded(
     if cfg.ref_tile == 0:
         import dataclasses
 
-        local_rows = -(-np.asarray(X_mov).shape[0] // ndev)
+        # np.shape: length without a hidden device->host cloud fetch
+        local_rows = -(-np.shape(X_mov)[0] // ndev)
         rt_auto = 1 << max(12, min(16, (local_rows // 8).bit_length()))
         cfg = dataclasses.replace(cfg, ref_tile=rt_auto)
 
@@ -783,7 +784,7 @@ def icp_register_sharded(
     if cfg.overlap_enabled:
         import dataclasses
 
-        nf_, nm_ = np.asarray(X_fix).shape[0], np.asarray(X_mov).shape[0]
+        nf_, nm_ = np.shape(X_fix)[0], np.shape(X_mov)[0]
         resolved = cfg.gate_method
         plan = None
         single_proc = jax.process_count() == 1

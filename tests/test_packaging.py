@@ -34,11 +34,23 @@ def venv_bin(tmp_path_factory):
     pyver = f"python{sys.version_info[0]}.{sys.version_info[1]}"
     sp = venv / "lib" / pyver / "site-packages"
     (sp / "_host_env.pth").write_text(host_sp + "\n")
-    r = subprocess.run(
-        [str(venv / "bin" / "python"), "-m", "pip", "install", "-e", ROOT,
-         "--no-deps", "--no-build-isolation", "--quiet"],
-        capture_output=True, text=True, timeout=600,
-    )
+    # Serialize editable builds of the SHARED source tree: under xdist
+    # (dist=load) both tests of this module can land on different workers,
+    # each with its own module-scoped venv — two concurrent setuptools
+    # editable builds of /root/repo could race on build metadata in the
+    # source dir. fcntl lock keyed by the tree path.
+    import fcntl
+    import hashlib
+
+    lock_path = "/tmp/simpleicp_pkg_%s.lock" % (
+        hashlib.sha1(ROOT.encode()).hexdigest()[:12])
+    with open(lock_path, "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        r = subprocess.run(
+            [str(venv / "bin" / "python"), "-m", "pip", "install", "-e",
+             ROOT, "--no-deps", "--no-build-isolation", "--quiet"],
+            capture_output=True, text=True, timeout=600,
+        )
     assert r.returncode == 0, f"pip install -e failed:\n{r.stderr[-2000:]}"
     return venv / "bin"
 
