@@ -337,6 +337,18 @@ def test_chunk_stall_warning(rng, caplog, monkeypatch):
     assert warned, "stall warning did not fire with zeroed margins"
 
 
+def test_stall_policy_cli_flag_and_validation():
+    from simpleicp_tpu.cli import build_parser
+
+    args = build_parser().parse_args(
+        ["-f", "a.xyz", "-m", "b.xyz", "--stall-policy", "wait"])
+    assert args.stall_policy == "wait"
+    args = build_parser().parse_args(["-f", "a.xyz", "-m", "b.xyz"])
+    assert args.stall_policy == "warn"
+    with pytest.raises(ValueError, match="stall_policy"):
+        IcpConfig(stall_policy="retry")
+
+
 def test_chunk_stall_policy_wait(rng, caplog, monkeypatch):
     """stall_policy='wait' (round-4 verdict item 2): after a detected
     overrun, the dispatcher must HOLD the next chunk until the health probe
