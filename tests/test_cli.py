@@ -88,6 +88,24 @@ def test_write_read_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(read_xyz(f), X, atol=1e-8)
 
 
+def test_native_makefile_sources_in_sync():
+    """The Makefile's SRCS must list every translation unit the ctypes
+    loader expects (_SOURCES): a missing one produces a library whose
+    undefined symbols only surface at first call (round 5 found
+    argsort.cpp absent — a clean `make` rebuild broke argsort_native)."""
+    import os
+    import re
+
+    nat = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                       "simpleicp_tpu", "native")
+    with open(os.path.join(nat, "Makefile")) as fh:
+        m = re.search(r"^SRCS\s*=\s*(.+)$", fh.read(), re.MULTILINE)
+    assert m, "Makefile has no SRCS line"
+    from simpleicp_tpu.native import _SOURCES
+
+    assert set(m.group(1).split()) == set(_SOURCES)
+
+
 def test_native_parser_if_built(tmp_path, rng):
     """The ctypes-loaded C++ mmap parser agrees with the Python reader."""
     try:
