@@ -349,6 +349,34 @@ def test_stall_policy_cli_flag_and_validation():
         IcpConfig(stall_policy="retry")
 
 
+def test_stall_wait_budget_exhaustion(caplog, monkeypatch):
+    """A worker that never answers must not deadlock the job: after the
+    wait budget, _wait_for_healthy_window gives up with a warning and the
+    run proceeds into the window."""
+    import logging
+
+    from simpleicp_tpu.models import icp as icp_core
+    from simpleicp_tpu.utils import device_policy
+
+    monkeypatch.setattr(icp_core, "_STALL_WAIT_SLEEP_S", 0.0)
+    monkeypatch.setattr(icp_core, "_STALL_WAIT_BUDGET_S", 0.05)
+    calls = []
+
+    def never_ok(timeout_s):
+        calls.append(timeout_s)
+        return ("timeout", "", 0.01)
+
+    monkeypatch.setattr(device_policy, "probe_default_backend", never_ok)
+    log = logging.getLogger("simpleicp_tpu.test_budget")
+    with caplog.at_level(logging.WARNING,
+                         logger="simpleicp_tpu.test_budget"):
+        waited = icp_core._wait_for_healthy_window(log)
+    assert calls, "probe never attempted"
+    assert waited >= 0.0
+    assert any("proceeding into the degraded window" in r.message
+               for r in caplog.records)
+
+
 def test_chunk_stall_policy_wait(rng, caplog, monkeypatch):
     """stall_policy='wait' (round-4 verdict item 2): after a detected
     overrun, the dispatcher must HOLD the next chunk until the health probe
