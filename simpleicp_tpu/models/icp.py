@@ -1903,6 +1903,28 @@ def icp_register_batch(
     obs_w = (jnp.zeros((B, 6), dtype) if rbp_observation_weights is None
              else jnp.asarray(rbp_observation_weights, dtype))
 
+    # vmap multiplies every per-tile intermediate of the distance kernels
+    # by B, so the default (query_tile x ref_tile) block that is proven on
+    # TPU for a single pair becomes B x that under batching — measured on
+    # hardware (round 5): a B=8 gated bunny batch with the default tiles
+    # CRASHES the TPU worker with a kernel fault, while B=2 (2x footprint)
+    # runs. Shrink the tiles so qt*rt*B stays at the proven single-pair
+    # product; results are tile-invariant (the kernels' tie handling is
+    # index-based, locked by tests), so this only changes scheduling.
+    import dataclasses
+
+    qt = cfg.query_tile
+    rt = cfg.ref_tile or 4096
+    shrink = 1
+    while shrink < B and rt > 1024:
+        rt //= 2
+        shrink *= 2
+    while shrink < B and qt > 256:
+        qt //= 2
+        shrink *= 2
+    if (qt, rt) != (cfg.query_tile, cfg.ref_tile or 4096):
+        cfg = dataclasses.replace(cfg, query_tile=qt, ref_tile=rt)
+
     dummy_n = jnp.zeros((B, 1, 3), dtype)
     dummy_p = jnp.zeros((B, 1), dtype)
     dummy_sel = jnp.zeros((B, 1), bool)
