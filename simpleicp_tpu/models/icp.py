@@ -1924,6 +1924,18 @@ def icp_register_batch(
         shrink *= 2
     if (qt, rt) != (cfg.query_tile, cfg.ref_tile or 4096):
         cfg = dataclasses.replace(cfg, query_tile=qt, ref_tile=rt)
+    if shrink < B and jax.default_backend() != "cpu":
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "icp_register_batch: batch=%d exceeds the tile-shrink envelope "
+            "(x%d max at the efficiency floors qt>=256, rt>=1024) — the "
+            "vmapped footprint is ~%.1fx the hardware-proven single-pair "
+            "size and may fault the accelerator worker (measured at the "
+            "default tiles with batch=8). Prefer pipelined single-pair "
+            "dispatch for large batches (BENCHMARKS.md serving A/B: it is "
+            "also faster).", B, shrink, B / shrink,
+        )
 
     dummy_n = jnp.zeros((B, 1, 3), dtype)
     dummy_p = jnp.zeros((B, 1), dtype)
