@@ -81,12 +81,17 @@ def main() -> int:
         r = icp_register_batch(Xf_b, Xm_b, cfg)
         np.asarray(r.H)  # forced readback of all B transforms
         times.append(time.perf_counter() - t0)
+        # every timed result must be a real registration — a failed lane
+        # would contribute a fast wall sample that registered nothing
+        assert int(np.asarray(r.error_code).max()) == 0, f"batch rep {i}"
     t_batch = float(np.median(times))
     out["batch_api"] = {
         "seconds_per_launch": round(t_batch, 4),
         "seconds_all": [round(t, 4) for t in times],
         "registrations_per_sec": round(B / t_batch, 1),
-        "iterations": np.asarray(res.n_iterations).tolist(),
+        # iteration counts of the LAST TIMED repeat (not the untimed
+        # compile pass), so seconds and iterations describe the same runs
+        "iterations": np.asarray(r.n_iterations).tolist(),
     }
 
     # ---- pipelined single-pair dispatch (round-4 comparator) ----
@@ -102,6 +107,7 @@ def main() -> int:
         for r in rs:
             np.asarray(r.H)
         times.append(time.perf_counter() - t0)
+        assert all(int(r.error_code) == 0 for r in rs), "pipelined rep"
     t_pipe = float(np.median(times))
     out["pipelined_single"] = {
         "seconds_per_batch": round(t_pipe, 4),

@@ -1830,6 +1830,14 @@ def icp_register(
     )
 
 
+# Largest vmapped distance-block footprint (batch * query_tile * ref_tile
+# elements) measured SAFE on the TPU worker: B=2 at the default 2048x4096
+# tiles ran; B=8 at the same tiles (4x this budget) crashed the worker
+# with a kernel fault (round 5, serving_batch_r5.json). icp_register_batch
+# shrinks tiles to stay inside this and warns when the floors prevent it.
+_BATCH_FOOTPRINT_BUDGET = 2 * 2048 * 4096
+
+
 def icp_register_batch(
     X_fix,
     X_mov,
@@ -1885,12 +1893,12 @@ def icp_register_batch(
     _check_round_linspace_domain(cfg.correspondences, Xf.shape[1])
     B = Xf.shape[0]
 
+    import dataclasses
+
     # Batch mode always runs the lax kernels: vmap adds a batch dimension
     # that Pallas block specs cannot absorb, and the gate falls back to the
     # dense sweep (both vmap cleanly; XLA fuses across the batch).
     if (cfg.overlap_enabled and cfg.gate_method == "auto") or cfg.use_pallas:
-        import dataclasses
-
         cfg = dataclasses.replace(
             cfg,
             gate_method=("brute" if cfg.overlap_enabled and
@@ -1904,37 +1912,37 @@ def icp_register_batch(
              else jnp.asarray(rbp_observation_weights, dtype))
 
     # vmap multiplies every per-tile intermediate of the distance kernels
-    # by B, so the default (query_tile x ref_tile) block that is proven on
-    # TPU for a single pair becomes B x that under batching — measured on
-    # hardware (round 5): a B=8 gated bunny batch with the default tiles
-    # CRASHES the TPU worker with a kernel fault, while B=2 (2x footprint)
-    # runs. Shrink the tiles so qt*rt*B stays at the proven single-pair
-    # product; results are tile-invariant (the kernels' tie handling is
-    # index-based, locked by tests), so this only changes scheduling.
-    import dataclasses
-
+    # by B, so the (query_tile x ref_tile) block that is proven on TPU for
+    # a single pair becomes B x that under batching — measured on hardware
+    # (round 5): a B=8 gated bunny batch at the default tiles (footprint
+    # 8 x 2048 x 4096) CRASHES the TPU worker with a kernel fault, while
+    # B=2 (2x the single-pair product) runs. Shrink the tiles until the
+    # ABSOLUTE footprint B*qt*rt is back inside the measured-safe budget;
+    # results are tile-invariant (the kernels' tie handling is
+    # index-based, locked by test_batch), so this only changes scheduling.
+    # Halving stops at the efficiency floors (qt>=256, rt>=1024 — the
+    # guards require >= 2*floor BEFORE halving so a non-power-of-two
+    # explicit tile never lands below its floor).
     qt = cfg.query_tile
     rt = cfg.ref_tile or 4096
-    shrink = 1
-    while shrink < B and rt > 1024:
+    while B * qt * rt > _BATCH_FOOTPRINT_BUDGET and rt >= 2 * 1024:
         rt //= 2
-        shrink *= 2
-    while shrink < B and qt > 256:
+    while B * qt * rt > _BATCH_FOOTPRINT_BUDGET and qt >= 2 * 256:
         qt //= 2
-        shrink *= 2
     if (qt, rt) != (cfg.query_tile, cfg.ref_tile or 4096):
         cfg = dataclasses.replace(cfg, query_tile=qt, ref_tile=rt)
-    if shrink < B and jax.default_backend() != "cpu":
+    if B * qt * rt > _BATCH_FOOTPRINT_BUDGET \
+            and jax.default_backend() != "cpu":
         import logging
 
         logging.getLogger(__name__).warning(
-            "icp_register_batch: batch=%d exceeds the tile-shrink envelope "
-            "(x%d max at the efficiency floors qt>=256, rt>=1024) — the "
-            "vmapped footprint is ~%.1fx the hardware-proven single-pair "
-            "size and may fault the accelerator worker (measured at the "
-            "default tiles with batch=8). Prefer pipelined single-pair "
-            "dispatch for large batches (BENCHMARKS.md serving A/B: it is "
-            "also faster).", B, shrink, B / shrink,
+            "icp_register_batch: batch=%d at tiles (%d x %d) has a vmapped "
+            "distance-block footprint %.1fx the measured-safe budget even "
+            "after shrinking to the efficiency floors — a footprint 4x the "
+            "budget faulted the TPU worker (round-5 measurement). Prefer "
+            "pipelined single-pair dispatch for large batches "
+            "(BENCHMARKS.md serving A/B: it is also faster).",
+            B, qt, rt, B * qt * rt / _BATCH_FOOTPRINT_BUDGET,
         )
 
     dummy_n = jnp.zeros((B, 1, 3), dtype)
