@@ -97,14 +97,19 @@ def test_warm_start_tuned_corner_drift_bounded(rng):
         IcpConfig(correspondences=5000, warm_start=True,
                   warm_start_points=10000, warm_start_correspondences=2000),
     )
-    assert bool(cold.converged) and bool(warm.converged)
-    assert int(warm.n_iterations) < int(cold.n_iterations)
+    ci, wi = int(cold.n_iterations), int(warm.n_iterations)
     dH = np.abs(np.asarray(warm.H) - np.asarray(cold.H)).max()
+    diag = (f"cold {ci} it (conv={bool(cold.converged)}), warm {wi} it "
+            f"(conv={bool(warm.converged)}), max|dH|={dH:.3e}")
+    assert bool(cold.converged) and bool(warm.converged), diag
+    assert wi < ci, f"tuned coarse pass saved no iterations: {diag}"
     assert dH < 1e-5, (
-        f"tuned warm-start corner drifted {dH:.2e} from the cold optimum "
-        "(bound 1e-5) — the coarse pass no longer lands in the same basin"
+        f"tuned warm-start corner drifted from the cold optimum "
+        f"(bound 1e-5) — the coarse pass no longer lands in the same "
+        f"basin: {diag}"
     )
-    np.testing.assert_allclose(np.asarray(warm.H)[:3, 3], t, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(warm.H)[:3, 3], t, atol=1e-4,
+                               err_msg=diag)
 
 
 def test_warm_start_noop_below_threshold(dragon):
