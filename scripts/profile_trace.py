@@ -285,6 +285,52 @@ def case_bigc(out, args):
     print(json.dumps(out["bigc"], indent=1), flush=True)
 
 
+def case_gated(out, args):
+    """Device-time attribution of the gated scale engine (dilated-occupancy
+    gate + registration) at 12.5M x 12.5M, radius 1.0 — the
+    gated_scale_r5.json 6.8 s headline row's program mix."""
+    import jax
+    import jax.numpy as jnp
+
+    from bench_gated_scale import tile_cloud
+    from simpleicp_tpu import IcpConfig, icp_register
+    from simpleicp_tpu.utils.xyz_io import read_xyz
+
+    n = 12_500_000
+    X_fix0 = read_xyz("/root/reference/data/dragon1.xyz").astype(np.float32)
+    X_mov0 = read_xyz("/root/reference/data/dragon2.xyz").astype(np.float32)
+    spacing = float(X_fix0[:, 0].max() - X_fix0[:, 0].min()) * 1.05
+    Xf = tile_cloud(X_fix0, n, spacing)
+    Xm = tile_cloud(X_mov0, n, spacing)
+    cfg = IcpConfig(max_overlap_distance=1.0)
+    res = icp_register(Xf, Xm, cfg)  # compile + host-side planning warm
+    np.asarray(res.H)
+    assert int(res.error_code) == 0
+
+    import jax.numpy as _j
+
+    Xm_d = jax.device_put(_j.asarray(Xm))
+
+    def run():
+        r = icp_register(Xf, jax.block_until_ready(Xm_d + _j.float32(1e-7)),
+                         cfg)
+        np.asarray(r.H)
+
+    ops_tab, modules = _traced(args.logdir + "/gated", run)
+    table = _op_table(ops_tab, 1, top=14)
+    out["gated_12p5m"] = {
+        "points": n, "iterations": int(res.n_iterations),
+        "per_op_device_us_whole_run": table,
+        "total_device_us_whole_run": round(
+            sum(v["us"] for v in modules.values()), 1),
+        "module_launches_us": {
+            k: {"us": round(v["us"], 1), "count": v["count"]}
+            for k, v in modules.items()
+        },
+    }
+    print(json.dumps(out["gated_12p5m"], indent=1), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cases", default="vpu,dragon")
@@ -300,7 +346,7 @@ def main():
     import jax
 
     out["backend"] = jax.default_backend()
-    cases = {"vpu": case_vpu, "bigc": case_bigc}
+    cases = {"vpu": case_vpu, "bigc": case_bigc, "gated": case_gated}
     for ds in ("dragon", "bunny", "multisensor", "webots"):
         cases[ds] = _case_small(ds)
     for case in args.cases.split(","):
