@@ -162,10 +162,22 @@ def _case_small(name):
         from simpleicp_tpu.utils.xyz_io import read_xyz
 
         fixed, movable, kw = DATASETS[name]
-        X_fix = jnp.asarray(read_xyz(f"/root/reference/data/{fixed}"),
-                            jnp.float32)
-        X_mov = jnp.asarray(read_xyz(f"/root/reference/data/{movable}"),
-                            jnp.float32)
+        if fixed.startswith("synth:"):
+            from bench_scale import tile_cloud
+
+            n_s = int(fixed.split(":")[1])
+            base_f = jnp.asarray(
+                read_xyz("/root/reference/data/dragon1.xyz"), jnp.float32)
+            base_m = jnp.asarray(
+                read_xyz("/root/reference/data/dragon2.xyz"), jnp.float32)
+            sp = float(jnp.max(base_f[:, 0]) - jnp.min(base_f[:, 0])) * 1.05
+            X_fix = tile_cloud(base_f, n_s, sp)
+            X_mov = tile_cloud(base_m, n_s, sp)
+        else:
+            X_fix = jnp.asarray(read_xyz(f"/root/reference/data/{fixed}"),
+                                jnp.float32)
+            X_mov = jnp.asarray(read_xyz(f"/root/reference/data/{movable}"),
+                                jnp.float32)
         jax.block_until_ready((X_fix, X_mov))
         kw = dict(kw)
         obs_vals = np.array(kw.pop("rbp_observed_values", (0.0,) * 6),
@@ -347,7 +359,8 @@ def main():
 
     out["backend"] = jax.default_backend()
     cases = {"vpu": case_vpu, "bigc": case_bigc, "gated": case_gated}
-    for ds in ("dragon", "bunny", "multisensor", "webots"):
+    for ds in ("dragon", "bunny", "multisensor", "webots",
+               "airborne", "terrestrial"):
         cases[ds] = _case_small(ds)
     for case in args.cases.split(","):
         t0 = time.perf_counter()
