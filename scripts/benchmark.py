@@ -66,14 +66,18 @@ REFERENCE_PYTHON = {"dragon": 1.86, "bunny": 2.15, "airborne": 7.48,
                     "terrestrial": 8.15}
 
 
-def run_dataset(name, repeats, sharded=0):
+def load_dataset(name):
+    """Device-resident clouds + prepared config/observations for a DATASETS
+    entry — the single place that knows the kwargs contract (synth: tiling,
+    degree->radian observation conversion, weight extraction). Shared by
+    this sweep and scripts/profile_trace.py so the two can never diverge.
+
+    Returns (X_fix, X_mov, cfg, obs_vals, obs_w)."""
     import jax
+    import jax.numpy as jnp
 
     from simpleicp_tpu.config import IcpConfig
-    from simpleicp_tpu.models.icp import icp_register
     from simpleicp_tpu.utils.xyz_io import read_xyz
-
-    import jax.numpy as jnp
 
     fixed, movable, kw = DATASETS[name]
     if fixed.startswith("synth:"):
@@ -94,10 +98,22 @@ def run_dataset(name, repeats, sharded=0):
         jax.block_until_ready((X_fix, X_mov))
 
     kw = dict(kw)
-    obs_vals = np.array(kw.pop("rbp_observed_values", (0.0,) * 6), dtype=np.float64)
+    obs_vals = np.array(kw.pop("rbp_observed_values", (0.0,) * 6),
+                        dtype=np.float64)
     obs_vals[:3] = np.deg2rad(obs_vals[:3])
-    obs_w = np.array(kw.pop("rbp_observation_weights", (0.0,) * 6), dtype=np.float64)
-    cfg = IcpConfig(**kw)
+    obs_w = np.array(kw.pop("rbp_observation_weights", (0.0,) * 6),
+                     dtype=np.float64)
+    return X_fix, X_mov, IcpConfig(**kw), obs_vals, obs_w
+
+
+def run_dataset(name, repeats, sharded=0):
+    import jax
+
+    from simpleicp_tpu.models.icp import icp_register
+
+    import jax.numpy as jnp
+
+    X_fix, X_mov, cfg, obs_vals, obs_w = load_dataset(name)
 
     if sharded:
         from simpleicp_tpu.parallel import icp_register_sharded, make_mesh

@@ -156,36 +156,12 @@ def _case_small(name):
         import jax
         import jax.numpy as jnp
 
-        from benchmark import DATASETS
-        from simpleicp_tpu import IcpConfig
+        from benchmark import load_dataset
         from simpleicp_tpu.models.icp import icp_register
-        from simpleicp_tpu.utils.xyz_io import read_xyz
 
-        fixed, movable, kw = DATASETS[name]
-        if fixed.startswith("synth:"):
-            from bench_scale import tile_cloud
-
-            n_s = int(fixed.split(":")[1])
-            base_f = jnp.asarray(
-                read_xyz("/root/reference/data/dragon1.xyz"), jnp.float32)
-            base_m = jnp.asarray(
-                read_xyz("/root/reference/data/dragon2.xyz"), jnp.float32)
-            sp = float(jnp.max(base_f[:, 0]) - jnp.min(base_f[:, 0])) * 1.05
-            X_fix = tile_cloud(base_f, n_s, sp)
-            X_mov = tile_cloud(base_m, n_s, sp)
-        else:
-            X_fix = jnp.asarray(read_xyz(f"/root/reference/data/{fixed}"),
-                                jnp.float32)
-            X_mov = jnp.asarray(read_xyz(f"/root/reference/data/{movable}"),
-                                jnp.float32)
-        jax.block_until_ready((X_fix, X_mov))
-        kw = dict(kw)
-        obs_vals = np.array(kw.pop("rbp_observed_values", (0.0,) * 6),
-                            np.float64)
-        obs_vals[:3] = np.deg2rad(obs_vals[:3])
-        obs_w = np.array(kw.pop("rbp_observation_weights", (0.0,) * 6),
-                         np.float64)
-        cfg = IcpConfig(**kw)
+        # single source of truth for the dataset kwargs contract
+        # (synth tiling, degree->radian observations): benchmark.py
+        X_fix, X_mov, cfg, obs_vals, obs_w = load_dataset(name)
 
         def go(Xm):
             return icp_register(X_fix, Xm, cfg,
@@ -240,24 +216,20 @@ def case_bigc(out, args):
     from simpleicp_tpu.models.icp import icp_register
     from simpleicp_tpu.utils.xyz_io import read_xyz
 
+    # SAME tiling as the headline benchmark this trace attributes
+    # (bench_bigc.py main; also used by bench_warm_cascade and
+    # record_stall_policy) — one tiling implementation, one geometry.
+    from bench_bigc import tile_cloud
+
     n = args.bigc_points
     C = 100_000
-    base = np.asarray(read_xyz("/root/reference/data/dragon1.xyz"))
-    mov = np.asarray(read_xyz("/root/reference/data/dragon2.xyz"))
-    k = -(-n // base.shape[0])
-    side = int(np.ceil(np.sqrt(k)))
-    ext = np.ptp(base, axis=0)[:2] * 1.05
-
-    def tile(X):
-        reps = []
-        for i in range(k):
-            off = np.array([(i % side) * ext[0], (i // side) * ext[1], 0.0])
-            reps.append(X + off)
-        return np.concatenate(reps)[:n]
-
-    Xf = jnp.asarray(tile(base), jnp.float32)
-    Xm = jnp.asarray(tile(mov), jnp.float32)
-    jax.block_until_ready((Xf, Xm))
+    X1 = jnp.asarray(read_xyz("/root/reference/data/dragon1.xyz"),
+                     jnp.float32)
+    X2 = jnp.asarray(read_xyz("/root/reference/data/dragon2.xyz"),
+                     jnp.float32)
+    ext = float(jnp.max(X1[:, 0]) - jnp.min(X1[:, 0]))
+    Xf = jax.block_until_ready(tile_cloud(X1, n, ext * 1.05))
+    Xm = jax.block_until_ready(tile_cloud(X2, n, ext * 1.05))
     cfg = IcpConfig(correspondences=C, dispatch="chunked",
                     chunk_iterations=1, max_iterations=args.bigc_iters)
     res = icp_register(Xf, Xm, cfg)  # compile + warm the whole cascade

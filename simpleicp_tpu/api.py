@@ -303,7 +303,11 @@ class SimpleICP:
         time per program; see IcpConfig.dispatch); `warm_start` runs a
         cheap coarse registration on subsampled clouds first and starts
         the full-resolution run from its result (fewer expensive
-        iterations, same basin; see IcpConfig.warm_start).
+        iterations, same basin; see IcpConfig.warm_start); `stall_policy`
+        ("warn"|"wait") selects what chunked dispatch does when a chunk
+        overruns its calibrated estimate inside a degraded accelerator
+        window — "wait" holds the next chunk until a health probe
+        answers, bit-neutral (see IcpConfig.stall_policy).
 
         center: shift both clouds by the fixed cloud's centroid before the
             device pipeline and map the result back (exact, host-side f64).

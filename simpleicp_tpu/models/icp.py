@@ -1312,7 +1312,11 @@ def _wait_for_healthy_window(log) -> float:
         )
         if status == "ok":
             return _t.monotonic() - t0
-        if _t.monotonic() + _STALL_WAIT_SLEEP_S >= deadline:
+        # budget the NEXT attempt too (sleep + a full probe timeout): a
+        # never-healing worker must not overrun the documented give-up
+        # bound by a trailing 120 s probe
+        if (_t.monotonic() + _STALL_WAIT_SLEEP_S
+                + _STALL_WAIT_PROBE_TIMEOUT_S >= deadline):
             log.warning(
                 "stall_policy='wait': no healthy probe within the %.0f s "
                 "budget; proceeding into the degraded window.",
@@ -1925,10 +1929,14 @@ def icp_register_batch(
     # explicit tile never lands below its floor).
     qt = cfg.query_tile
     rt = cfg.ref_tile or 4096
-    while B * qt * rt > _BATCH_FOOTPRINT_BUDGET and rt >= 2 * 1024:
-        rt //= 2
-    while B * qt * rt > _BATCH_FOOTPRINT_BUDGET and qt >= 2 * 256:
-        qt //= 2
+    if jax.default_backend() != "cpu":
+        # accelerators only: the budget guards a TPU-worker kernel fault
+        # that cannot occur on CPU, and shrinking there would just add
+        # lax.scan steps (the per-step overhead regime past ~100k points)
+        while B * qt * rt > _BATCH_FOOTPRINT_BUDGET and rt >= 2 * 1024:
+            rt //= 2
+        while B * qt * rt > _BATCH_FOOTPRINT_BUDGET and qt >= 2 * 256:
+            qt //= 2
     if (qt, rt) != (cfg.query_tile, cfg.ref_tile or 4096):
         cfg = dataclasses.replace(cfg, query_tile=qt, ref_tile=rt)
     if B * qt * rt > _BATCH_FOOTPRINT_BUDGET \

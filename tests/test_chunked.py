@@ -361,6 +361,7 @@ def test_stall_wait_budget_exhaustion(caplog, monkeypatch):
     import time as _time
 
     monkeypatch.setattr(icp_core, "_STALL_WAIT_SLEEP_S", 0.0)
+    monkeypatch.setattr(icp_core, "_STALL_WAIT_PROBE_TIMEOUT_S", 0.0)
     monkeypatch.setattr(icp_core, "_STALL_WAIT_BUDGET_S", 0.2)
     calls = []
 
@@ -410,6 +411,7 @@ def test_chunk_stall_policy_wait(rng, caplog, monkeypatch):
     monkeypatch.setattr(icp_core, "_STALL_SLACK_S", 0.0)
     monkeypatch.setattr(icp_core, "_STALL_MIN_EST_S", 0.0)
     monkeypatch.setattr(icp_core, "_STALL_WAIT_SLEEP_S", 0.0)
+    monkeypatch.setattr(icp_core, "_STALL_WAIT_PROBE_TIMEOUT_S", 0.0)
     monkeypatch.setattr(icp_core, "_STALL_WAIT_BUDGET_S", 30.0)
 
     probes = []

@@ -9,18 +9,23 @@ import gzip
 import importlib.util
 import json
 import os
-import sys
+
+import pytest
 
 ROOT = os.path.dirname(os.path.dirname(__file__))
 
 
-def _load_module():
+@pytest.fixture()
+def profile_trace_mod(monkeypatch):
+    """Load scripts/profile_trace.py without permanently polluting
+    sys.path with the scripts/ dir (its generically-named siblings like
+    `benchmark` would otherwise shadow later imports on this worker —
+    monkeypatch.syspath_prepend is undone at teardown; the module's own
+    repo-root insertion is harmless)."""
+    monkeypatch.syspath_prepend(os.path.join(ROOT, "scripts"))
     path = os.path.join(ROOT, "scripts", "profile_trace.py")
     spec = importlib.util.spec_from_file_location("profile_trace", path)
     mod = importlib.util.module_from_spec(spec)
-    # scripts/ sibling imports (benchmark.py) resolve via the module's own
-    # sys.path insertion; keep ours pointing at scripts/ too
-    sys.path.insert(0, os.path.join(ROOT, "scripts"))
     spec.loader.exec_module(mod)
     return mod
 
@@ -33,8 +38,8 @@ def _write_trace(tmp_path, events):
     return str(tmp_path)
 
 
-def test_parse_trace_filters_and_aggregates(tmp_path):
-    pt = _load_module()
+def test_parse_trace_filters_and_aggregates(tmp_path, profile_trace_mod):
+    pt = profile_trace_mod
     events = [
         {"ph": "M", "pid": 3, "name": "process_name",
          "args": {"name": "/device:TPU:0"}},
@@ -71,8 +76,8 @@ def test_parse_trace_filters_and_aggregates(tmp_path):
     assert sum(v["us"] for v in ops.values()) > 140.0
 
 
-def test_op_table_sorts_and_normalizes_reps(tmp_path):
-    pt = _load_module()
+def test_op_table_sorts_and_normalizes_reps(tmp_path, profile_trace_mod):
+    pt = profile_trace_mod
     ops = {
         "big": {"us": 1000.0, "count": 10},
         "small": {"us": 10.0, "count": 5},
