@@ -94,17 +94,25 @@ logging.getLogger(__name__).addHandler(logging.NullHandler())
 from .config import IcpConfig  # noqa: E402
 from .corrpts import CorrPts, CorrPtsException  # noqa: E402
 from .models.solver import Parameter, RigidBodyParameters  # noqa: E402
-from .models.icp import IcpResult, icp_register, icp_register_batch  # noqa: E402
+from .models.icp import (  # noqa: E402
+    FixedPrep,
+    IcpResult,
+    icp_register,
+    icp_register_batch,
+    prepare_fixed,
+)
 from .api import PointCloud, PointCloudException, SimpleICP, SimpleICPException  # noqa: E402
 
 __all__ = [
     "CorrPts",
     "CorrPtsException",
+    "FixedPrep",
     "IcpConfig",
     "IcpResult",
     "icp_register",
     "icp_register_batch",
     "Parameter",
+    "prepare_fixed",
     "PointCloud",
     "PointCloudException",
     "RigidBodyParameters",

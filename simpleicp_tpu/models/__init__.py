@@ -1,6 +1,7 @@
 """Registration models: the ICP pipeline and its Gauss-Newton solver."""
 
 from .solver import Parameter, RigidBodyParameters
-from .icp import IcpResult, icp_register
+from .icp import FixedPrep, IcpResult, icp_register, prepare_fixed
 
-__all__ = ["Parameter", "RigidBodyParameters", "IcpResult", "icp_register"]
+__all__ = ["FixedPrep", "Parameter", "RigidBodyParameters", "IcpResult",
+           "icp_register", "prepare_fixed"]

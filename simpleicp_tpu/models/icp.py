@@ -687,32 +687,43 @@ def _icp_run(Xf, Xm, obs_vals, obs_w, normals_fix, planarity_fix,
         error, H0, match_fn, gather_fn, mov_planarity_fn=mov_planarity_fn,
     )
 
+    return _result_from_carry(
+        final, uncertainties, covariance, sel_idx, sel_valid, normals,
+        planarity,
+    )
+
+
+def _result_from_carry(c: _Carry, uncertainties, covariance, sel_idx,
+                       sel_valid, normals, planarity) -> IcpResult:
+    """Assemble the public IcpResult from a final loop carry — shared by the
+    monolithic, prepared, and host-chunked drivers (trace-safe: a pure
+    NamedTuple rearrangement)."""
     return IcpResult(
-        H=final.H,
-        p=final.p,
+        H=c.H,
+        p=c.p,
         uncertainties=uncertainties,
         covariance=covariance,
-        n_iterations=final.it,
-        converged=final.converged,
-        error_code=final.error,
-        iter_counts=final.iter_counts,
-        iter_means=final.iter_means,
-        iter_stds=final.iter_stds,
-        orig_count=final.orig_count,
-        orig_mean=final.orig_mean,
-        orig_std=final.orig_std,
-        residuals=final.residuals,
-        residual_mask=final.residual_mask,
-        distance_weight=final.dist_w,
+        n_iterations=c.it,
+        converged=c.converged,
+        error_code=c.error,
+        iter_counts=c.iter_counts,
+        iter_means=c.iter_means,
+        iter_stds=c.iter_stds,
+        orig_count=c.orig_count,
+        orig_mean=c.orig_mean,
+        orig_std=c.orig_std,
+        residuals=c.residuals,
+        residual_mask=c.residual_mask,
+        distance_weight=c.dist_w,
         sel_idx=sel_idx,
         sel_valid=sel_valid,
         normals=normals,
         planarity=planarity,
-        iter_ps=final.iter_ps,
-        iter_midx=final.iter_midx,
-        iter_masks=final.iter_masks,
-        iter_dists=final.iter_dists,
-        iter_gn_rel_steps=final.iter_gn,
+        iter_ps=c.iter_ps,
+        iter_midx=c.iter_midx,
+        iter_masks=c.iter_masks,
+        iter_dists=c.iter_dists,
+        iter_gn_rel_steps=c.iter_gn,
     )
 
 
@@ -835,6 +846,54 @@ def _icp_chunk_jit(carry: _Carry, it_hi, Q, normals, planarity, sel_valid,
         match_fn, gather_fn, mov_planarity_fn=mov_planarity_fn,
         carry_in=carry, it_hi=it_hi,
     )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "has_mov_planarity"),
+)
+def _icp_run_prepared(Xm, obs_vals, obs_w, Q, normals, planarity, sel_idx,
+                      sel_valid, planarity_mov,
+                      *, cfg: IcpConfig,
+                      has_mov_planarity: bool = False) -> IcpResult:
+    """Monolithic registration against a PREPARED fixed cloud: stages 1-4
+    (selection + normals) come in precomputed (prepare_fixed), so the
+    program is the grid build (if any) plus the ICP loop — the serving path
+    when many movable clouds register against one fixed map. Bit-identical
+    to `_icp_run` on the same inputs: the prologue is movable-independent
+    without an overlap gate (prepare_fixed enforces that), and the loop is
+    the shared `run_icp_loop`."""
+    dtype = Q.dtype
+    H0 = rbp_to_H(obs_vals)
+    grid = (_build_match_grid(Xm, cfg, dtype)
+            if cfg.match_method == "grid" else None)
+    match_fn = _make_match_fn(Q, Xm, cfg, dtype, grid)
+
+    def gather_fn(m_idx):
+        return Xm[m_idx]
+
+    mov_planarity_fn = (
+        (lambda m_idx: planarity_mov[m_idx]) if has_mov_planarity else None
+    )
+    final, uncertainties, covariance = run_icp_loop(
+        Q, normals, planarity, sel_valid, obs_vals, obs_w, cfg, dtype,
+        jnp.int32(ERR_OK), H0, match_fn, gather_fn,
+        mov_planarity_fn=mov_planarity_fn,
+    )
+    return _result_from_carry(
+        final, uncertainties, covariance, sel_idx, sel_valid, normals,
+        planarity,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "build_grid"))
+def _prep_chunk_prologue_jit(Xm, obs_vals, *, cfg: IcpConfig,
+                             build_grid: bool):
+    """Chunked-dispatch prologue when the fixed side is PREPARED: only the
+    initial transform (and the grid matcher's one-time cell-list build)
+    remain — selection and normals arrive precomputed."""
+    H0 = rbp_to_H(obs_vals)
+    grid = _build_match_grid(Xm, cfg, Xm.dtype) if build_grid else ()
+    return H0, jnp.int32(ERR_OK), grid
 
 
 # Certificate margin of the grid-kNN prologue (knn_query_sorted default).
@@ -1038,12 +1097,31 @@ def _knn_grid_normals(Q, Xf, cfg: IcpConfig, knn_block: int):
     return normals, planarity
 
 
+def _dense_knn_blocks(Q, Xf, cfg: IcpConfig, knn_block: int):
+    """Stage-4 normals as bounded dense query-block programs — bit-identical
+    to the monolithic kNN because per-query top-k is independent of the
+    query batch (shared by the chunked prologue and prepare_fixed)."""
+    C, dtype = Q.shape[0], Q.dtype
+    blk = knn_block if knn_block > 0 else C
+    nb = -(-C // blk)
+    Q_pad = jnp.concatenate(
+        [Q, jnp.zeros((nb * blk - C, 3), dtype)]
+    ) if nb * blk != C else Q
+    parts = [
+        _icp_knn_block_jit(Q_pad[b * blk:(b + 1) * blk], Xf, cfg=cfg)
+        for b in range(nb)
+    ]
+    normals = jnp.concatenate([p[0] for p in parts])[:C]
+    planarity = jnp.concatenate([p[1] for p in parts])[:C]
+    return normals, planarity
+
+
 def _icp_run_chunked(Xf, Xm, obs_vals, obs_w, normals_fix, planarity_fix,
                      planarity_mov, ext_sel_mask,
                      *, cfg: IcpConfig, has_normals: bool,
                      has_mov_planarity: bool, has_ext_sel: bool,
                      chunk_iters: int, knn_block: int = 0,
-                     knn_grid: bool = False) -> IcpResult:
+                     knn_grid: bool = False, prep=None) -> IcpResult:
     """Host-chunked registration: the same pipeline as `_icp_run`, executed
     as a prologue program plus K-iteration loop programs re-dispatched from
     the host with the carry staying on device.
@@ -1078,7 +1156,15 @@ def _icp_run_chunked(Xf, Xm, obs_vals, obs_w, normals_fix, planarity_fix,
     # (~30 ms through the tunnel). Gate them on the logger level so
     # non-debug runs keep the async dispatch pipeline (round-4 advisor).
     _dbg = _dlog.isEnabledFor(_logging.DEBUG)
-    if (knn_block > 0 or knn_grid) and not has_normals:
+    if prep is not None:
+        # Prepared fixed side (prepare_fixed): selection + normals arrive
+        # precomputed, so the prologue program shrinks to the initial
+        # transform + the grid matcher's one-time build.
+        Q, normals, planarity, sel_idx, sel_valid = prep
+        H0, error, grid = _prep_chunk_prologue_jit(
+            Xm, obs_vals, cfg=cfg, build_grid=use_grid,
+        )
+    elif (knn_block > 0 or knn_grid) and not has_normals:
         _tp = _time.perf_counter()
         Q, sel_idx, sel_valid, error, H0, grid = _icp_gate_select_jit(
             Xf, Xm, obs_vals, ext_sel_mask,
@@ -1107,17 +1193,7 @@ def _icp_run_chunked(Xf, Xm, obs_vals, obs_w, normals_fix, planarity_fix,
         if normals is None:
             # dense kNN in bounded query-block programs
             _tp = _time.perf_counter()
-            blk = knn_block if knn_block > 0 else C
-            nb = -(-C // blk)
-            Q_pad = jnp.concatenate(
-                [Q, jnp.zeros((nb * blk - C, 3), dtype)]
-            ) if nb * blk != C else Q
-            parts = [
-                _icp_knn_block_jit(Q_pad[b * blk:(b + 1) * blk], Xf, cfg=cfg)
-                for b in range(nb)
-            ]
-            normals = jnp.concatenate([p[0] for p in parts])[:C]
-            planarity = jnp.concatenate([p[1] for p in parts])[:C]
+            normals, planarity = _dense_knn_blocks(Q, Xf, cfg, knn_block)
             if _dbg:
                 jax.block_until_ready(normals)
                 _dlog.debug(
@@ -1208,32 +1284,9 @@ def _icp_run_chunked(Xf, Xm, obs_vals, obs_w, normals_fix, planarity_fix,
             "degraded windows (stall_policy='wait').", stall_wait_total,
         )
 
-    return IcpResult(
-        H=carry.H,
-        p=carry.p,
-        uncertainties=uncertainties,
-        covariance=covariance,
-        n_iterations=carry.it,
-        converged=carry.converged,
-        error_code=carry.error,
-        iter_counts=carry.iter_counts,
-        iter_means=carry.iter_means,
-        iter_stds=carry.iter_stds,
-        orig_count=carry.orig_count,
-        orig_mean=carry.orig_mean,
-        orig_std=carry.orig_std,
-        residuals=carry.residuals,
-        residual_mask=carry.residual_mask,
-        distance_weight=carry.dist_w,
-        sel_idx=sel_idx,
-        sel_valid=sel_valid,
-        normals=normals,
-        planarity=planarity,
-        iter_ps=carry.iter_ps,
-        iter_midx=carry.iter_midx,
-        iter_masks=carry.iter_masks,
-        iter_dists=carry.iter_dists,
-        iter_gn_rel_steps=carry.iter_gn,
+    return _result_from_carry(
+        carry, uncertainties, covariance, sel_idx, sel_valid, normals,
+        planarity,
     )
 
 
@@ -1470,6 +1523,138 @@ def plan_warm_start(
     return cfg, rbp_observed_values
 
 
+class FixedPrep(NamedTuple):
+    """Precomputed fixed-cloud state for repeated registrations
+    (prepare_fixed -> icp_register(fixed_prep=...)).
+
+    Without an overlap gate, pipeline stages 1-4 — fixed-count selection
+    (static, reference formula) and normals at the selected points — depend
+    only on the FIXED cloud and the config, so a serving workload that
+    registers many movable clouds against one fixed map (localization
+    against a reference scan) can pay them once. Measured weight of what
+    this skips: ~4.2 ms of dragon's 9.5 ms device time (the prologue kNN
+    fusion, profile_trace_r5.json) and the ~10 s certified grid-kNN
+    prologue of the C=1e5 x 12.5M headline. The reference recomputes both
+    per run (/root/reference/python/simpleicp/simpleicp.py:262-283).
+
+    Treat as opaque: pass the SAME fixed cloud (and a config with equal
+    correspondences/neighbors/approx_knn and no overlap gate) to the
+    consuming icp_register call — mismatches raise."""
+
+    Q: jnp.ndarray           # (C,3) selected fixed-side query points
+    normals: jnp.ndarray     # (C,3) normals at Q (dense-kNN bit parity)
+    planarity: jnp.ndarray   # (C,) planarity at Q
+    sel_idx: jnp.ndarray     # (C,) int32 indices into the fixed cloud
+    sel_valid: jnp.ndarray   # (C,) bool validity (nf < C padding)
+    n_fix: int               # fixed-cloud row count (consistency check)
+    correspondences: int     # cfg fingerprint: selection count
+    neighbors: int           # cfg fingerprint: kNN k
+    approx_knn: bool         # cfg fingerprint: candidate engine
+
+
+def prepare_fixed(
+    X_fix,
+    cfg: IcpConfig = IcpConfig(),
+    *,
+    normals_fix: Optional[np.ndarray] = None,
+    planarity_fix: Optional[np.ndarray] = None,
+    dtype=None,
+) -> FixedPrep:
+    """Precompute the movable-independent pipeline stages for a fixed cloud.
+
+    Requires the overlap gate disabled (``max_overlap_distance=inf``): with
+    a gate, which fixed points get selected depends on the movable cloud
+    and cannot be precomputed. Results are bit-identical to the in-register
+    prologue — selection uses the same host-side reference formula
+    (np.round/np.linspace of
+    /root/reference/python/simpleicp/pointcloud.py:141-147) and the kNN
+    kernels are tile- and batch-invariant (index-stable tie-breaks), which
+    tests/test_prepared.py pins field-for-field. Big-C preparations reuse
+    the chunked prologue's planning: the certified grid-kNN cascade when
+    the dense kNN alone would exceed ``program_budget_s``, bounded dense
+    query blocks otherwise.
+
+    Args:
+        X_fix: (nf, 3) fixed cloud (the SAME array must go to the
+            consuming icp_register calls).
+        cfg: the config the consuming registrations will use (selection
+            and kNN fields are fingerprinted and enforced at use).
+        normals_fix / planarity_fix: optional user-supplied per-point
+            normals/planarity for the full fixed cloud (SURVEY.md Q11) —
+            gathered at the selected rows instead of running the kNN.
+        dtype: computation dtype; defaults like icp_register.
+
+    Returns:
+        FixedPrep for ``icp_register(..., fixed_prep=prep)``.
+    """
+    import dataclasses
+
+    if cfg.overlap_enabled:
+        raise ValueError(
+            "prepare_fixed requires the overlap gate disabled "
+            "(max_overlap_distance=inf/negative): a gated selection "
+            "depends on the movable cloud and cannot be precomputed"
+        )
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    Xf = jnp.asarray(X_fix, dtype)
+    if Xf.ndim != 2 or Xf.shape[1] != 3:
+        raise ValueError("point clouds must have shape (n, 3)")
+    nf, C = Xf.shape[0], cfg.correspondences
+    _check_round_linspace_domain(C, nf)
+    if cfg.ref_tile == 0:
+        # the kNN's reference side is the fixed cloud; bit-parity with any
+        # in-register tile choice is guaranteed by the kernels' index-stable
+        # tie-breaks (ops/knn.py), pinned by tests/test_prepared.py
+        rt_auto = 1 << max(12, min(16, (nf // 8).bit_length()))
+        cfg = dataclasses.replace(cfg, ref_tile=rt_auto)
+
+    # Stage 3, ungated: static selection resolved host-side (exact
+    # reference semantics — same code path as _gate_select_stages).
+    if nf > C:
+        host_idx = np.round(np.linspace(0, nf - 1, C)).astype(np.int32)
+        sel_valid = jnp.ones(C, bool)
+    else:
+        host_idx = np.minimum(np.arange(C, dtype=np.int32), nf - 1)
+        sel_valid = jnp.asarray(np.arange(C) < nf)
+    sel_idx = jnp.asarray(host_idx)
+    Q = Xf[sel_idx]
+
+    if normals_fix is not None:
+        normals = jnp.asarray(normals_fix, dtype)[sel_idx]
+        planarity = (jnp.ones(C, dtype) if planarity_fix is None
+                     else jnp.asarray(planarity_fix, dtype)[sel_idx])
+        return FixedPrep(Q, normals, planarity, sel_idx, sel_valid, nf,
+                         C, cfg.neighbors, cfg.approx_knn)
+
+    # Stage 4: normals kNN, sized like icp_register's dispatch planner —
+    # one bounded program when it fits the watchdog budget, the chunked
+    # prologue's grid-kNN cascade / dense query blocks beyond it.
+    knn_block, knn_grid = 0, False
+    budget = cfg.program_budget_s
+    if budget > 0 and jax.default_backend() != "cpu":
+        from ..utils.device_policy import estimate_tpu_stage_seconds
+
+        _, knn_s, _, _ = estimate_tpu_stage_seconds(
+            nf, 1,
+            correspondences=C, neighbors=cfg.neighbors,
+            gate_pairs=0.0, match_method="brute", match_cell_cap=0,
+            has_normals=False,
+        )
+        if knn_s > budget * 0.9:
+            rows_per_budget = (budget * 0.5) / max(knn_s, 1e-9) * C
+            knn_block = max(2048, int(rows_per_budget) // 2048 * 2048)
+            knn_block = min(knn_block, -(-C // 2048) * 2048)
+            knn_grid = knn_s > budget * 0.5
+    normals = planarity = None
+    if knn_grid:
+        normals, planarity = _knn_grid_normals(Q, Xf, cfg, knn_block)
+    if normals is None:
+        normals, planarity = _dense_knn_blocks(Q, Xf, cfg, knn_block)
+    return FixedPrep(Q, normals, planarity, sel_idx, sel_valid, nf,
+                     C, cfg.neighbors, cfg.approx_knn)
+
+
 def icp_register(
     X_fix,
     X_mov,
@@ -1480,6 +1665,7 @@ def icp_register(
     normals_fix: Optional[np.ndarray] = None,
     planarity_fix: Optional[np.ndarray] = None,
     planarity_mov: Optional[np.ndarray] = None,
+    fixed_prep: Optional[FixedPrep] = None,
     dtype=None,
 ) -> IcpResult:
     """Functional entry point: register X_mov onto X_fix.
@@ -1514,6 +1700,38 @@ def icp_register(
     if Xf.ndim != 2 or Xf.shape[1] != 3 or Xm.ndim != 2 or Xm.shape[1] != 3:
         raise ValueError("point clouds must have shape (n, 3)")
     _check_round_linspace_domain(cfg.correspondences, Xf.shape[0])
+
+    if fixed_prep is not None:
+        # A prepared fixed side replaces stages 1-4; the preparation must
+        # have been computed for THIS cloud, config, and dtype.
+        if cfg.overlap_enabled:
+            raise ValueError(
+                "fixed_prep cannot be combined with the overlap gate "
+                "(max_overlap_distance): a gated selection depends on the "
+                "movable cloud — prepare_fixed refuses such configs too"
+            )
+        if normals_fix is not None:
+            raise ValueError(
+                "pass normals_fix to prepare_fixed, not to the consuming "
+                "icp_register call — the preparation already contains the "
+                "selected normals"
+            )
+        stamp = (fixed_prep.n_fix, fixed_prep.correspondences,
+                 fixed_prep.neighbors, fixed_prep.approx_knn)
+        want = (Xf.shape[0], cfg.correspondences, cfg.neighbors,
+                cfg.approx_knn)
+        if stamp != want:
+            raise ValueError(
+                f"fixed_prep was computed for (n_fix, correspondences, "
+                f"neighbors, approx_knn)={stamp}, but this call needs "
+                f"{want} — re-run prepare_fixed with the matching cloud "
+                "and config"
+            )
+        if fixed_prep.Q.dtype != jnp.dtype(dtype):
+            raise ValueError(
+                f"fixed_prep dtype {fixed_prep.Q.dtype} does not match "
+                f"this call's dtype {jnp.dtype(dtype)}"
+            )
 
     warm_requested = cfg.warm_start
     if cfg.warm_start:
@@ -1720,7 +1938,9 @@ def icp_register(
             gate_pairs=gate_pairs,
             match_method=cfg.match_method,
             match_cell_cap=cfg.match_cell_cap,
-            has_normals=has_normals,
+            # a prepared fixed side skips the normals kNN like supplied
+            # normals do
+            has_normals=has_normals or fixed_prep is not None,
         )
         # the monolithic program runs up to max_iterations; guard on the
         # typical converged count like round 2 (healthy runs finish in ~10)
@@ -1816,6 +2036,22 @@ def icp_register(
         cfg, dispatch="auto", chunk_iterations=0, warm_start=False,
         warm_start_points=1_000_000, warm_start_correspondences=1000,
     )
+    if fixed_prep is not None:
+        prep5 = (fixed_prep.Q, fixed_prep.normals, fixed_prep.planarity,
+                 fixed_prep.sel_idx, fixed_prep.sel_valid)
+        if dispatch == "chunked":
+            return _icp_run_chunked(
+                Xf, Xm, obs_vals, obs_w, normals_arr, planarity_arr,
+                planarity_mov_arr, ext_sel_mask,
+                cfg=run_cfg, has_normals=has_normals,
+                has_mov_planarity=has_mov_planarity,
+                has_ext_sel=has_ext_sel, chunk_iters=chunk_k,
+                prep=prep5,
+            )
+        return _icp_run_prepared(
+            Xm, obs_vals, obs_w, *prep5, planarity_mov_arr,
+            cfg=run_cfg, has_mov_planarity=has_mov_planarity,
+        )
     if dispatch == "chunked":
         return _icp_run_chunked(
             Xf, Xm, obs_vals, obs_w, normals_arr, planarity_arr,
