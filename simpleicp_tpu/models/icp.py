@@ -1602,6 +1602,19 @@ def prepare_fixed(
         raise ValueError("point clouds must have shape (n, 3)")
     nf, C = Xf.shape[0], cfg.correspondences
     _check_round_linspace_domain(C, nf)
+    # dispatch/warm-start fields never reach the kNN traces; normalize them
+    # like icp_register's run_cfg so a preparation's programs share the
+    # compile cache with the chunked prologue's (identical math, identical
+    # hash)
+    cfg = dataclasses.replace(
+        cfg, dispatch="auto", chunk_iterations=0, warm_start=False,
+        warm_start_points=1_000_000, warm_start_correspondences=1000,
+        # the kNN traces never consult the matcher either; pin the "auto"
+        # sentinel to the big-C resolution so the preparation's programs
+        # hash-match the chunked prologue's
+        match_method=("brute" if cfg.match_method == "auto"
+                      else cfg.match_method),
+    )
     if cfg.ref_tile == 0:
         # the kNN's reference side is the fixed cloud; bit-parity with any
         # in-register tile choice is guaranteed by the kernels' index-stable
