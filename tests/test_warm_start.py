@@ -41,9 +41,16 @@ def _known_motion():
     return R, t
 
 
-def test_warm_start_same_basin_fewer_iterations(rng):
+def test_warm_start_same_basin_fewer_iterations():
     """Warm vs cold on a 30k-point pair with a known rigid motion: both
-    recover it, and the warm full-resolution run takes fewer iterations."""
+    recover it, and the warm full-resolution run takes fewer iterations.
+
+    Deterministic local generator: iteration-count comparisons depend on
+    the drawn geometry, and the shared session `rng` fixture's state
+    depends on xdist worker scheduling — one schedule drew a shape where
+    cold already converges minimally and warm cannot beat it (observed
+    2026-08-21 on the tuned-corner twin of this test)."""
+    rng = np.random.default_rng(420001)
     X_fix = _surface(rng, 30000)
     R, t = _known_motion()
     X_mov = (X_fix - t) @ R
@@ -60,9 +67,12 @@ def test_warm_start_same_basin_fewer_iterations(rng):
     np.testing.assert_allclose(np.asarray(warm.H)[:3, 3], t, atol=2e-3)
 
 
-def test_warm_start_gated(rng):
+def test_warm_start_gated():
     """The warm parameters feed the overlap gate's H0 (initial-transform-
-    before-gate, Q10) — the gated pipeline must accept and use them."""
+    before-gate, Q10) — the gated pipeline must accept and use them.
+    (Deterministic local generator — see
+    test_warm_start_same_basin_fewer_iterations.)"""
+    rng = np.random.default_rng(420002)
     X_fix = _surface(rng, 20000)
     R, t = _known_motion()
     X_mov = (_surface(rng, 20000) - t) @ R
@@ -74,7 +84,7 @@ def test_warm_start_gated(rng):
     np.testing.assert_allclose(np.asarray(res.H)[:3, 3], t, atol=5e-3)
 
 
-def test_warm_start_tuned_corner_drift_bounded(rng):
+def test_warm_start_tuned_corner_drift_bounded():
     """The TUNED warm-start preset (bigger/sharper coarse pass:
     warm_start_points=4e6 / warm_start_correspondences=2000 at the big-C
     headline, BENCHMARKS.md) trades ~5e-3 of |dH| drift from the cold
@@ -82,10 +92,26 @@ def test_warm_start_tuned_corner_drift_bounded(rng):
     was documented but unpinned (round-4 verdict weak #6) — a coarse-gate
     regression growing the drift would have passed the suite. This pins
     the CPU-scale analog of the tuned corner (same points ratio ~1/3,
-    coarse C=2000): warm must converge in FEWER iterations than cold yet
-    stay within a tight |dH| bound of the cold optimum (measured 1.6e-7
-    on this shape; bound 1e-5 = 60x margin, far below any
-    basin-drift regression)."""
+    coarse C=2000): the warm path must ENGAGE (the full-resolution run
+    starts from the coarse seed, proven by its iteration-0 trajectory
+    differing from cold's — a silent cold-fallback would make the drift
+    bound pass vacuously with dH=0) and stay within a tight |dH| bound of
+    the cold optimum (measured ~2e-7 on this shape; bound 1e-5, far below
+    any basin-drift regression).
+
+    Deterministic local generator: the shared session `rng` fixture's
+    state depends on xdist worker scheduling. This test deliberately
+    compares neither iteration counts nor cold's converged flag — on an
+    independently-sampled pair the genuine residual floor makes the
+    min_change criterion fire on statistics jitter, so both are
+    draw-dependent (one schedule drew cold=5/warm=7 and a prior count
+    assert failed spuriously; seed 420003's cold run reaches the optimum
+    to 2e-7 but walks to max_iterations without the criterion firing —
+    2026-08-21). Cold's FINAL H is stationary long before the cap either
+    way, which is all the drift comparison needs. Iteration savings are
+    pinned by test_warm_start_same_basin_fewer_iterations on a
+    dependent-sampled pair, where they are deterministic."""
+    rng = np.random.default_rng(420003)
     X_fix = _surface(rng, 30000)
     R, t = _known_motion()
     X_mov = (_surface(rng, 30000) - t) @ R  # independent sampling:
@@ -101,8 +127,10 @@ def test_warm_start_tuned_corner_drift_bounded(rng):
     dH = np.abs(np.asarray(warm.H) - np.asarray(cold.H)).max()
     diag = (f"cold {ci} it (conv={bool(cold.converged)}), warm {wi} it "
             f"(conv={bool(warm.converged)}), max|dH|={dH:.3e}")
-    assert bool(cold.converged) and bool(warm.converged), diag
-    assert wi < ci, f"tuned coarse pass saved no iterations: {diag}"
+    assert bool(warm.converged), diag
+    assert not np.array_equal(
+        np.asarray(warm.iter_ps[0]), np.asarray(cold.iter_ps[0])
+    ), f"warm run's iteration 0 matches cold — coarse seed not adopted: {diag}"
     assert dH < 1e-5, (
         f"tuned warm-start corner drifted from the cold optimum "
         f"(bound 1e-5) — the coarse pass no longer lands in the same "
