@@ -203,6 +203,59 @@ def _case_small(name):
     return run_case
 
 
+def case_dragon_prepared(out, args):
+    """Device time of the PREPARED dragon registration (prepare_fixed
+    consumed): the serving path's per-scan program. The self-contained
+    dragon program measured 9.47 ms with the prologue kNN fusion at
+    4.20 ms of it (profile_trace_r5.json); with the preparation that
+    fusion moves to the one-time prepare_fixed, so the per-scan residency
+    should drop to roughly the loop + epilogue."""
+    import jax
+    import jax.numpy as jnp
+
+    from benchmark import load_dataset
+    from simpleicp_tpu.models.icp import icp_register, prepare_fixed
+
+    X_fix, X_mov, cfg, obs_vals, obs_w = load_dataset("dragon")
+    prep = prepare_fixed(X_fix, cfg)
+    jax.block_until_ready(prep.normals)
+
+    def go(Xm):
+        return icp_register(X_fix, Xm, cfg, fixed_prep=prep,
+                            rbp_observed_values=obs_vals,
+                            rbp_observation_weights=obs_w)
+
+    res = go(X_mov)  # compile
+    np.asarray(res.H)
+    assert int(res.error_code) == 0
+
+    rng = np.random.default_rng(0)
+    reps = 5
+    jitters = [
+        jax.block_until_ready(
+            X_mov + jnp.asarray(rng.uniform(-1e-7, 1e-7, (1, 3)),
+                                jnp.float32))
+        for _ in range(reps)
+    ]
+
+    def run():
+        for Xm in jitters:
+            np.asarray(go(Xm).H)
+
+    ops_tab, modules = _traced(args.logdir + "/dragon_prepared", run)
+    out["dragon_prepared"] = {
+        "n_reps": reps,
+        "iterations": int(res.n_iterations),
+        "per_op_device_us": _op_table(ops_tab, reps),
+        "total_device_us_per_registration": round(
+            sum(v["us"] for v in modules.values()) / reps, 1),
+        "module_totals_us": {
+            k: round(v["us"] / reps, 1) for k, v in modules.items()
+        },
+    }
+    print(json.dumps(out["dragon_prepared"], indent=1), flush=True)
+
+
 def case_bigc(out, args):
     """One chunk program of the big-C headline (C=1e5 x 12.5M ungated
     exact): per-iteration device time attribution of the match sweep. The
@@ -330,7 +383,8 @@ def main():
     import jax
 
     out["backend"] = jax.default_backend()
-    cases = {"vpu": case_vpu, "bigc": case_bigc, "gated": case_gated}
+    cases = {"vpu": case_vpu, "bigc": case_bigc, "gated": case_gated,
+             "dragon_prepared": case_dragon_prepared}
     for ds in ("dragon", "bunny", "multisensor", "webots",
                "airborne", "terrestrial"):
         cases[ds] = _case_small(ds)
