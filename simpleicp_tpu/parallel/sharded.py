@@ -455,20 +455,31 @@ def _icp_run_sharded(Xf, f_valid, Xm, m_valid, ext_sel, obs_vals, obs_w,
                      normals_fix, planarity_fix, planarity_mov,
                      *, cfg: IcpConfig, has_normals: bool,
                      has_mov_planarity: bool,
-                     mesh: jax.sharding.Mesh, ndev: int) -> IcpResult:
+                     mesh: jax.sharding.Mesh, ndev: int,
+                     prep=None) -> IcpResult:
     axis = mesh.axis_names[0]
     qt, rt = cfg.query_tile, (cfg.ref_tile or 4096)
+    has_prep = prep is not None
 
     def spmd(Xf_l, fv_l, Xm_l, mv_l, ext_l, obs_vals, obs_w, nrm_l, pla_l,
-             pmov_l):
+             pmov_l, *prep_arrs):
         dtype = Xf_l.dtype
 
-        Q, normals, planarity, sel_gidx, sel_valid, error, H0 = (
-            _spmd_prologue_body(
-                cfg, axis, ndev, has_normals, qt, rt,
-                Xf_l, fv_l, Xm_l, mv_l, ext_l, obs_vals, nrm_l, pla_l,
+        if has_prep:
+            # Prepared fixed side (models.icp.prepare_fixed), replicated in:
+            # the ungated selection + normals are mesh-independent (padding
+            # sits at the cloud tail, so the sharded global indices equal
+            # the original indices the preparation carries).
+            Q, normals, planarity, sel_gidx, sel_valid = prep_arrs
+            H0 = rbp_to_H(obs_vals)
+            error = jnp.int32(ERR_OK)
+        else:
+            Q, normals, planarity, sel_gidx, sel_valid, error, H0 = (
+                _spmd_prologue_body(
+                    cfg, axis, ndev, has_normals, qt, rt,
+                    Xf_l, fv_l, Xm_l, mv_l, ext_l, obs_vals, nrm_l, pla_l,
+                )
             )
-        )
 
         # ---- the shared ICP loop with a collective matcher ----
         grid = (_spmd_build_match_grid(cfg, axis, Xm_l, mv_l)
@@ -532,11 +543,12 @@ def _icp_run_sharded(Xf, f_valid, Xm, m_valid, ext_sel, obs_vals, obs_w,
         spmd,
         mesh=mesh,
         in_specs=(sharded2d, sharded, sharded2d, sharded, sharded, rep, rep,
-                  sharded2d, sharded, sharded),
+                  sharded2d, sharded, sharded)
+        + ((rep,) * 5 if has_prep else ()),
         out_specs=out_specs,
         check_vma=False,
     )(Xf, f_valid, Xm, m_valid, ext_sel, obs_vals, obs_w, normals_fix,
-      planarity_fix, planarity_mov)
+      planarity_fix, planarity_mov, *(prep if has_prep else ()))
 
 
 @functools.partial(
@@ -576,6 +588,37 @@ def _icp_prologue_sharded(Xf, f_valid, Xm, m_valid, ext_sel, obs_vals,
         check_vma=False,
     )(Xf, f_valid, Xm, m_valid, ext_sel, obs_vals, normals_fix,
       planarity_fix)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "mesh", "ndev", "build_grid"),
+)
+def _prep_prologue_sharded(Xm, m_valid, obs_vals, *, cfg: IcpConfig,
+                           mesh: jax.sharding.Mesh, ndev: int,
+                           build_grid: bool):
+    """Sharded chunked-dispatch prologue when the fixed side is PREPARED
+    (models.icp.prepare_fixed): only the initial transform and the grid
+    matcher's one-time per-shard cell lists remain — the
+    models.icp._prep_chunk_prologue_jit analog over a device mesh."""
+    axis = mesh.axis_names[0]
+
+    def spmd(Xm_l, mv_l, obs_vals):
+        H0 = rbp_to_H(obs_vals)
+        grid = (_spmd_build_match_grid(cfg, axis, Xm_l, mv_l)
+                if build_grid else ())
+        return H0, jnp.int32(ERR_OK), grid
+
+    sharded, sharded2d, rep = P(axis), P(axis, None), P()
+    grid_specs = ((sharded2d, sharded, sharded, rep, sharded)
+                  if build_grid else ())
+    return shard_map(
+        spmd,
+        mesh=mesh,
+        in_specs=(sharded2d, sharded, rep),
+        out_specs=(rep, rep, grid_specs),
+        check_vma=False,
+    )(Xm, m_valid, obs_vals)
 
 
 @functools.partial(
@@ -632,7 +675,7 @@ def _icp_run_sharded_chunked(Xf, f_valid, Xm, m_valid, ext_sel, obs_vals,
                              *, cfg: IcpConfig, has_normals: bool,
                              has_mov_planarity: bool,
                              mesh: jax.sharding.Mesh, ndev: int,
-                             chunk_iters: int) -> IcpResult:
+                             chunk_iters: int, prep=None) -> IcpResult:
     """Host-chunked SHARDED registration (the models.icp._icp_run_chunked
     analog over a device mesh): one prologue shard_map program, then
     K-iteration loop programs re-dispatched from the host with the
@@ -653,13 +696,23 @@ def _icp_run_sharded_chunked(Xf, f_valid, Xm, m_valid, ext_sel, obs_vals,
     K = max(1, int(chunk_iters))
     dtype = Xf.dtype
 
-    (Q, normals, planarity, sel_gidx, sel_valid, error, H0, grid
-     ) = _icp_prologue_sharded(
-        Xf, f_valid, Xm, m_valid, ext_sel, obs_vals, normals_fix,
-        planarity_fix,
-        cfg=cfg, has_normals=has_normals, mesh=mesh, ndev=ndev,
-        build_grid=use_grid,
-    )
+    if prep is not None:
+        # Prepared fixed side: selection + normals arrive precomputed and
+        # replicated; only the initial transform and the per-shard grid
+        # build remain in the prologue program.
+        Q, normals, planarity, sel_gidx, sel_valid = prep
+        H0, error, grid = _prep_prologue_sharded(
+            Xm, m_valid, obs_vals, cfg=cfg, mesh=mesh, ndev=ndev,
+            build_grid=use_grid,
+        )
+    else:
+        (Q, normals, planarity, sel_gidx, sel_valid, error, H0, grid
+         ) = _icp_prologue_sharded(
+            Xf, f_valid, Xm, m_valid, ext_sel, obs_vals, normals_fix,
+            planarity_fix,
+            cfg=cfg, has_normals=has_normals, mesh=mesh, ndev=ndev,
+            build_grid=use_grid,
+        )
     carry = make_carry_init(cfg, dtype, obs_vals.astype(dtype), H0, error)
 
     while True:
@@ -714,6 +767,7 @@ def icp_register_sharded(
     normals_fix=None,
     planarity_fix=None,
     planarity_mov=None,
+    fixed_prep=None,
     dtype=None,
 ) -> IcpResult:
     """Multi-chip registration: same contract as models.icp.icp_register,
@@ -722,11 +776,52 @@ def icp_register_sharded(
     Note: `sel_idx` / `iter_midx` in the result index into the *padded*
     clouds; padding rows are never selected (validity masks), and pad indices
     equal real indices because padding is appended at the tail.
+
+    `fixed_prep` (models.icp.prepare_fixed) replaces the prologue like in
+    the single-chip driver — the preparation's replicated (C,·) arrays are
+    broadcast to the mesh and the SPMD prologue (distributed selection +
+    collective kNN) is skipped. Valid because padding sits at the cloud
+    tail: the sharded global indices equal the original indices the
+    preparation carries. Requires nf >= correspondences in addition to
+    the single-chip constraints (below C the two engines fill the unused
+    selection slots differently — masked everywhere, but the masked
+    result fields would not be bit-comparable).
     """
     if mesh is None:
         mesh = make_mesh()
     ndev = int(np.prod(mesh.devices.shape))
     axis = mesh.axis_names[0]
+
+    if fixed_prep is not None:
+        nf_in = int(np.shape(X_fix)[0])
+        if cfg.overlap_enabled:
+            raise ValueError(
+                "fixed_prep cannot be combined with the overlap gate "
+                "(max_overlap_distance): a gated selection depends on the "
+                "movable cloud — prepare_fixed refuses such configs too"
+            )
+        if normals_fix is not None:
+            raise ValueError(
+                "pass normals_fix to prepare_fixed, not to the consuming "
+                "icp_register_sharded call — the preparation already "
+                "contains the selected normals"
+            )
+        if nf_in < cfg.correspondences:
+            raise ValueError(
+                "fixed_prep under sharding requires at least "
+                "`correspondences` fixed points (the sharded and host "
+                "selection engines fill sub-C padding slots differently)"
+            )
+        stamp = (fixed_prep.n_fix, fixed_prep.correspondences,
+                 fixed_prep.neighbors, fixed_prep.approx_knn)
+        want = (nf_in, cfg.correspondences, cfg.neighbors, cfg.approx_knn)
+        if stamp != want:
+            raise ValueError(
+                f"fixed_prep was computed for (n_fix, correspondences, "
+                f"neighbors, approx_knn)={stamp}, but this call needs "
+                f"{want} — re-run prepare_fixed with the matching cloud "
+                "and config"
+            )
 
     # The distributed selection reuses round_linspace with the global
     # selected count; the same proven-domain guard as the single-chip
@@ -751,6 +846,12 @@ def icp_register_sharded(
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     np_dtype = np.dtype(dtype.dtype if hasattr(dtype, "dtype") else dtype)
+
+    if fixed_prep is not None and fixed_prep.Q.dtype != jnp.dtype(np_dtype):
+        raise ValueError(
+            f"fixed_prep dtype {fixed_prep.Q.dtype} does not match this "
+            f"call's dtype {jnp.dtype(np_dtype)}"
+        )
 
     # Coarse-to-fine warm start: the coarse pass runs single-device on
     # stride-subsampled clouds (models/icp.py plan_warm_start), its result
@@ -934,7 +1035,9 @@ def icp_register_sharded(
             gate_pairs=gate_pairs,
             match_method=cfg.match_method,
             match_cell_cap=cfg.match_cell_cap,
-            has_normals=has_normals,
+            # a prepared fixed side skips the collective kNN like supplied
+            # normals do
+            has_normals=has_normals or fixed_prep is not None,
         )
         knn_s /= ndev
         build_s /= ndev
@@ -1002,13 +1105,22 @@ def icp_register_sharded(
         _put_sharded(pla, shard1),
         _put_sharded(pmov, shard1),
     )
+    prep5 = None
+    if fixed_prep is not None:
+        # replicate the preparation's (C,·) arrays to the mesh
+        prep5 = tuple(
+            jax.device_put(jnp.asarray(a), rep)
+            for a in (fixed_prep.Q, fixed_prep.normals, fixed_prep.planarity,
+                      fixed_prep.sel_idx, fixed_prep.sel_valid)
+        )
     if dispatch == "chunked":
         return _icp_run_sharded_chunked(
             *args, cfg=run_cfg, has_normals=has_normals,
             has_mov_planarity=has_mov_planarity, mesh=mesh, ndev=ndev,
-            chunk_iters=chunk_k,
+            chunk_iters=chunk_k, prep=prep5,
         )
     return _icp_run_sharded(
         *args, cfg=run_cfg, has_normals=has_normals,
         has_mov_planarity=has_mov_planarity, mesh=mesh, ndev=ndev,
+        prep=prep5,
     )

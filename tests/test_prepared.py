@@ -157,6 +157,49 @@ def test_prepared_small_cloud_padding(rng):
     )
 
 
+def test_prepared_sharded_parity(rng):
+    """The sharded driver consumes the SAME preparation (replicated to the
+    mesh, SPMD prologue skipped): field-for-field equal to the sharded
+    self-contained run on both dispatch shapes — padding at the cloud tail
+    makes the sharded global indices equal the preparation's original
+    indices."""
+    from simpleicp_tpu.parallel import icp_register_sharded, make_mesh
+
+    Xf, Xm = _pair(rng, 9000, 9000)
+    mesh = make_mesh()
+    cfg = IcpConfig(correspondences=800)
+    prep = prepare_fixed(Xf, cfg)
+    cold = icp_register_sharded(Xf, Xm, cfg, mesh=mesh)
+    _assert_results_bitequal(
+        cold, icp_register_sharded(Xf, Xm, cfg, mesh=mesh, fixed_prep=prep))
+    chunked = dataclasses.replace(cfg, dispatch="chunked",
+                                  chunk_iterations=2)
+    _assert_results_bitequal(
+        icp_register_sharded(Xf, Xm, chunked, mesh=mesh),
+        icp_register_sharded(Xf, Xm, chunked, mesh=mesh, fixed_prep=prep))
+
+
+def test_prepared_sharded_validation(rng):
+    from simpleicp_tpu.parallel import icp_register_sharded, make_mesh
+
+    Xf, Xm = _pair(rng, 2000, 2000)
+    mesh = make_mesh()
+    cfg = IcpConfig(correspondences=200)
+    prep = prepare_fixed(Xf, cfg)
+    with pytest.raises(ValueError, match="overlap gate"):
+        icp_register_sharded(
+            Xf, Xm, IcpConfig(correspondences=200, max_overlap_distance=1.0),
+            mesh=mesh, fixed_prep=prep)
+    with pytest.raises(ValueError, match="re-run prepare_fixed"):
+        icp_register_sharded(Xf, Xm, IcpConfig(correspondences=300),
+                             mesh=mesh, fixed_prep=prep)
+    # sub-C fixed clouds: the sharded and host selection engines fill the
+    # masked padding slots differently — refused rather than non-comparable
+    small = prepare_fixed(Xf[:100], IcpConfig(correspondences=200))
+    with pytest.raises(ValueError, match="at least"):
+        icp_register_sharded(Xf[:100], Xm, cfg, mesh=mesh, fixed_prep=small)
+
+
 def test_prepared_validation_errors(rng):
     Xf, Xm = _pair(rng, 2000, 2000)
     cfg = IcpConfig(correspondences=200)
