@@ -145,13 +145,27 @@ def bench_bigc(args, out):
     print(f"  prepare_fixed: {prep_cold_s:.2f} s cold, {prep_s:.2f} s warm",
           flush=True)
 
+    # tight-radius static-grid matcher variant: the warm seed lands the
+    # full-resolution run near the basin, so a match_radius of ~7x the NN
+    # spacing (the round-3 escape-hatch radius) bounds every true NN and
+    # the grid's O(27*cap) gathers replace the 5.5 s brute sweep
+    # (~1.9 s/iteration measured at cap~25, bigc_tpu_r4.json grid row)
+    import dataclasses
+
+    cfg_grid = dataclasses.replace(cfg, match_method="grid",
+                                   match_radius=args.grid_radius)
+
     rng = np.random.default_rng(0)
     res = {}
     H_by = {}
-    for tag, kw in (("tuned", {}), ("tuned_prep", {"fixed_prep": prep})):
+    for tag, c_, kw in (
+        ("tuned", cfg, {}),
+        ("tuned_prep", cfg, {"fixed_prep": prep}),
+        ("tuned_prep_grid", cfg_grid, {"fixed_prep": prep}),
+    ):
         print(f"[{tag}] compile pass", flush=True)
         probe_until_healthy(args.probe_timeout, args.probe_budget)
-        r = icp_register(X_fix, X_mov, cfg, **kw)
+        r = icp_register(X_fix, X_mov, c_, **kw)
         np.asarray(r.H)
         assert int(r.error_code) == 0, tag
         times, iters = [], []
@@ -160,7 +174,7 @@ def bench_bigc(args, out):
             Xm_i = jax.block_until_ready(
                 X_mov + jnp.asarray(rng.uniform(-1e-7, 1e-7, (1, 3)), dtype))
             t0 = time.perf_counter()
-            r = icp_register(X_fix, Xm_i, cfg, **kw)
+            r = icp_register(X_fix, Xm_i, c_, **kw)
             np.asarray(r.H)
             dt = time.perf_counter() - t0
             times.append(round(dt, 2))
@@ -180,6 +194,9 @@ def bench_bigc(args, out):
         "prepare_seconds_warm": round(prep_s, 2),
         "max_H_diff_prep_vs_not": float(
             np.abs(H_by["tuned"] - H_by["tuned_prep"]).max()),
+        "max_H_diff_grid_vs_prep": float(
+            np.abs(H_by["tuned_prep_grid"] - H_by["tuned_prep"]).max()),
+        "grid_radius": args.grid_radius,
         **res,
     }
 
@@ -189,6 +206,7 @@ def main() -> int:
     ap.add_argument("--cases", default="small,bigc")
     ap.add_argument("--repeats", type=int, default=7)
     ap.add_argument("--bigc-repeats", type=int, default=2)
+    ap.add_argument("--grid-radius", type=float, default=0.05)
     ap.add_argument("--n", type=float, default=12.5e6)
     ap.add_argument("--c", type=int, default=100_000)
     ap.add_argument("--probe-timeout", type=float, default=120.0)
