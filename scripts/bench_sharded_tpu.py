@@ -12,9 +12,12 @@ Cases:
   gated_ring       — bunny-radius overlap gate, ring collective;
   gated_allgather  — same gate, all-gather collective.
 
-Each case reports wall seconds (readback-forced, perturbed warm repeat),
-iterations, and max |H| difference vs the single-chip icp_register run of
-the same config.
+Each case reports wall seconds (readback-forced perturbed warm repeats,
+per-rep list, health probe before each — the CLAUDE.md degraded-window
+rule) and max |H| difference vs the single-chip icp_register run on the
+IDENTICAL input (the compile-pass run — comparing a perturbed run would
+contaminate the engine-parity figure with the input perturbation, which
+sits at exactly the f32-roundoff scale the figure certifies).
 """
 
 from __future__ import annotations
@@ -34,6 +37,9 @@ DATA = "/root/reference/data"
 
 def main() -> int:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--probe-timeout", type=float, default=120.0)
+    ap.add_argument("--probe-budget", type=float, default=1200.0)
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -60,25 +66,34 @@ def main() -> int:
                                       gate_collective="allgather"), {}),
     }
 
+    from simpleicp_tpu.utils.device_policy import probe_until_healthy
+
     out = {"backend": jax.default_backend(), "mesh_devices": ndev,
            "cases": {}}
     for tag, (cfg, kw) in cases.items():
+        probe_until_healthy(args.probe_timeout, args.probe_budget)
         ref = icp_register(X_fix, X_mov, cfg, dtype=jnp.float32)
         H_ref = np.asarray(ref.H)
         r = icp_register_sharded(X_fix, X_mov, cfg, mesh=mesh,
                                  dtype=jnp.float32, **kw)  # compile
-        np.asarray(r.H)
-        Xm_i = X_mov + np.float32(1e-7)
-        t0 = time.perf_counter()
-        r = icp_register_sharded(X_fix, Xm_i, cfg, mesh=mesh,
-                                 dtype=jnp.float32, **kw)
-        H = np.asarray(r.H)
-        dt = time.perf_counter() - t0
+        # engine parity on the IDENTICAL input (the whole point of the
+        # artifact); the timed repeats below perturb and measure wall only
+        H_same = np.asarray(r.H)
+        times = []
+        for i in range(args.repeats):
+            probe_until_healthy(args.probe_timeout, args.probe_budget)
+            Xm_i = X_mov + np.float32((i + 1) * 1e-7)
+            t0 = time.perf_counter()
+            r = icp_register_sharded(X_fix, Xm_i, cfg, mesh=mesh,
+                                     dtype=jnp.float32, **kw)
+            np.asarray(r.H)
+            times.append(round(time.perf_counter() - t0, 4))
         out["cases"][tag] = {
-            "seconds": round(dt, 4),
+            "seconds_all": times,
+            "seconds_median": round(float(np.median(times)), 4),
             "iterations": int(r.n_iterations),
             "err": int(r.error_code),
-            "max_H_diff_vs_single": float(np.abs(H - H_ref).max()),
+            "max_H_diff_vs_single": float(np.abs(H_same - H_ref).max()),
         }
         print(tag, json.dumps(out["cases"][tag]), flush=True)
     print(json.dumps(out))

@@ -32,15 +32,9 @@ DATA = "/root/reference/data"
 
 
 def probe_until_healthy(timeout_s, budget_s):
-    from simpleicp_tpu.utils.device_policy import probe_default_backend
+    from simpleicp_tpu.utils.device_policy import probe_until_healthy as p
 
-    deadline = time.monotonic() + budget_s
-    while True:
-        st, _b, psec = probe_default_backend(timeout_s)
-        print(f"  probe: {st} in {psec:.1f} s", flush=True)
-        if st == "ok" or time.monotonic() > deadline:
-            return st == "ok"
-        time.sleep(60)
+    return p(timeout_s, budget_s)
 
 
 def main() -> int:

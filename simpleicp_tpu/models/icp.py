@@ -543,18 +543,29 @@ def _gate_select_stages(Xf, Xm, obs_vals, ext_sel_mask, *, cfg: IcpConfig,
         sel_idx, sel_valid = _select_n(sel_mask, C)
     else:
         # No gate: the selection depends only on static shapes — resolve it
-        # with numpy at trace time (exact np.round/np.linspace semantics of
-        # /root/reference/python/simpleicp/pointcloud.py:141-147).
-        nf = Xf.shape[0]
-        if nf > C:
-            host_idx = np.round(np.linspace(0, nf - 1, C)).astype(np.int32)
-            sel_valid = jnp.ones(C, bool)
-        else:
-            host_idx = np.minimum(np.arange(C, dtype=np.int32), nf - 1)
-            sel_valid = jnp.asarray(np.arange(C) < nf)
+        # with numpy at trace time.
+        host_idx, valid_np = _static_ungated_selection(Xf.shape[0], C)
         sel_idx = jnp.asarray(host_idx)
+        sel_valid = jnp.asarray(valid_np)
     Q = Xf[sel_idx]  # (C,3) fixed-side correspondence queries
     return Q, sel_idx, sel_valid, error, H0
+
+
+def _static_ungated_selection(nf: int, C: int):
+    """Stage-3 fixed-count selection without a gate, resolved host-side
+    (exact np.round/np.linspace semantics of
+    /root/reference/python/simpleicp/pointcloud.py:141-147). ONE
+    implementation shared by the in-register prologue and prepare_fixed —
+    the serving bit-parity contract depends on them never diverging.
+
+    Returns numpy (host_idx int32 (C,), valid bool (C,))."""
+    if nf > C:
+        host_idx = np.round(np.linspace(0, nf - 1, C)).astype(np.int32)
+        valid = np.ones(C, bool)
+    else:
+        host_idx = np.minimum(np.arange(C, dtype=np.int32), nf - 1)
+        valid = np.arange(C) < nf
+    return host_idx, valid
 
 
 def _normals_stage(Q, Xf, sel_idx, normals_fix, planarity_fix,
@@ -1622,15 +1633,11 @@ def prepare_fixed(
         rt_auto = 1 << max(12, min(16, (nf // 8).bit_length()))
         cfg = dataclasses.replace(cfg, ref_tile=rt_auto)
 
-    # Stage 3, ungated: static selection resolved host-side (exact
-    # reference semantics — same code path as _gate_select_stages).
-    if nf > C:
-        host_idx = np.round(np.linspace(0, nf - 1, C)).astype(np.int32)
-        sel_valid = jnp.ones(C, bool)
-    else:
-        host_idx = np.minimum(np.arange(C, dtype=np.int32), nf - 1)
-        sel_valid = jnp.asarray(np.arange(C) < nf)
+    # Stage 3, ungated: static selection resolved host-side — the SAME
+    # implementation the in-register prologue uses (bit-parity contract).
+    host_idx, valid_np = _static_ungated_selection(nf, C)
     sel_idx = jnp.asarray(host_idx)
+    sel_valid = jnp.asarray(valid_np)
     Q = Xf[sel_idx]
 
     if normals_fix is not None:
@@ -1654,6 +1661,21 @@ def prepare_fixed(
             gate_pairs=0.0, match_method="brute", match_cell_cap=0,
             has_normals=False,
         )
+        # same indivisible-program refusal as icp_register's dispatch
+        # planner: one MINIMAL 2048-row kNN block over budget means no
+        # block split can make the preparation watchdog-safe (over-long
+        # programs crash TPU workers)
+        knn_atom_s = min(knn_s, knn_s * 2048.0 / max(C, 1))
+        if knn_atom_s > budget * 0.9:
+            raise ValueError(
+                f"preparing this fixed cloud is estimated at "
+                f"~{knn_atom_s:.0f} s of device time for ONE minimal kNN "
+                f"query block — over the program_budget_s={budget:g} "
+                "watchdog guard (over-long programs crash TPU workers). "
+                "Reduce `neighbors`, prepare on --device cpu, or "
+                "raise/disable program_budget_s if your runtime allows "
+                "long programs."
+            )
         if knn_s > budget * 0.9:
             rows_per_budget = (budget * 0.5) / max(knn_s, 1e-9) * C
             knn_block = max(2048, int(rows_per_budget) // 2048 * 2048)
@@ -1666,6 +1688,40 @@ def prepare_fixed(
         normals, planarity = _dense_knn_blocks(Q, Xf, cfg, knn_block)
     return FixedPrep(Q, normals, planarity, sel_idx, sel_valid, nf,
                      C, cfg.neighbors, cfg.approx_knn)
+
+
+def _validate_fixed_prep(fixed_prep: FixedPrep, nf: int, cfg: IcpConfig,
+                         dtype, normals_fix, caller: str) -> None:
+    """Consistency checks shared by every fixed_prep-consuming driver: the
+    preparation must have been computed for THIS cloud, config, and dtype,
+    and cannot be combined with inputs it replaces."""
+    if cfg.overlap_enabled:
+        raise ValueError(
+            "fixed_prep cannot be combined with the overlap gate "
+            "(max_overlap_distance): a gated selection depends on the "
+            "movable cloud — prepare_fixed refuses such configs too"
+        )
+    if normals_fix is not None:
+        raise ValueError(
+            f"pass normals_fix to prepare_fixed, not to the consuming "
+            f"{caller} call — the preparation already contains the "
+            "selected normals"
+        )
+    stamp = (fixed_prep.n_fix, fixed_prep.correspondences,
+             fixed_prep.neighbors, fixed_prep.approx_knn)
+    want = (nf, cfg.correspondences, cfg.neighbors, cfg.approx_knn)
+    if stamp != want:
+        raise ValueError(
+            f"fixed_prep was computed for (n_fix, correspondences, "
+            f"neighbors, approx_knn)={stamp}, but this call needs "
+            f"{want} — re-run prepare_fixed with the matching cloud "
+            "and config"
+        )
+    if fixed_prep.Q.dtype != jnp.dtype(dtype):
+        raise ValueError(
+            f"fixed_prep dtype {fixed_prep.Q.dtype} does not match "
+            f"this call's dtype {jnp.dtype(dtype)}"
+        )
 
 
 def icp_register(
@@ -1717,34 +1773,8 @@ def icp_register(
     if fixed_prep is not None:
         # A prepared fixed side replaces stages 1-4; the preparation must
         # have been computed for THIS cloud, config, and dtype.
-        if cfg.overlap_enabled:
-            raise ValueError(
-                "fixed_prep cannot be combined with the overlap gate "
-                "(max_overlap_distance): a gated selection depends on the "
-                "movable cloud — prepare_fixed refuses such configs too"
-            )
-        if normals_fix is not None:
-            raise ValueError(
-                "pass normals_fix to prepare_fixed, not to the consuming "
-                "icp_register call — the preparation already contains the "
-                "selected normals"
-            )
-        stamp = (fixed_prep.n_fix, fixed_prep.correspondences,
-                 fixed_prep.neighbors, fixed_prep.approx_knn)
-        want = (Xf.shape[0], cfg.correspondences, cfg.neighbors,
-                cfg.approx_knn)
-        if stamp != want:
-            raise ValueError(
-                f"fixed_prep was computed for (n_fix, correspondences, "
-                f"neighbors, approx_knn)={stamp}, but this call needs "
-                f"{want} — re-run prepare_fixed with the matching cloud "
-                "and config"
-            )
-        if fixed_prep.Q.dtype != jnp.dtype(dtype):
-            raise ValueError(
-                f"fixed_prep dtype {fixed_prep.Q.dtype} does not match "
-                f"this call's dtype {jnp.dtype(dtype)}"
-            )
+        _validate_fixed_prep(fixed_prep, Xf.shape[0], cfg, dtype,
+                             normals_fix, "icp_register")
 
     warm_requested = cfg.warm_start
     if cfg.warm_start:

@@ -44,6 +44,7 @@ from ..models.icp import (
     ERR_NO_OVERLAP,
     ERR_OK,
     IcpResult,
+    _result_from_carry,
     run_icp_loop,
 )
 from ..ops.knn import knn_search, nn_search
@@ -499,32 +500,9 @@ def _icp_run_sharded(Xf, f_valid, Xm, m_valid, ext_sel, obs_vals, obs_w,
             mov_planarity_fn=mov_planarity_fn,
         )
 
-        return IcpResult(
-            H=final.H,
-            p=final.p,
-            uncertainties=uncertainties,
-            covariance=covariance,
-            n_iterations=final.it,
-            converged=final.converged,
-            error_code=final.error,
-            iter_counts=final.iter_counts,
-            iter_means=final.iter_means,
-            iter_stds=final.iter_stds,
-            orig_count=final.orig_count,
-            orig_mean=final.orig_mean,
-            orig_std=final.orig_std,
-            residuals=final.residuals,
-            residual_mask=final.residual_mask,
-            distance_weight=final.dist_w,
-            sel_idx=sel_gidx,
-            sel_valid=sel_valid,
-            normals=normals,
-            planarity=planarity,
-            iter_ps=final.iter_ps,
-            iter_midx=final.iter_midx,
-            iter_masks=final.iter_masks,
-            iter_dists=final.iter_dists,
-            iter_gn_rel_steps=final.iter_gn,
+        return _result_from_carry(
+            final, uncertainties, covariance, sel_gidx, sel_valid, normals,
+            planarity,
         )
 
     sharded = P(axis)
@@ -727,32 +705,9 @@ def _icp_run_sharded_chunked(Xf, f_valid, Xm, m_valid, ext_sel, obs_vals,
                 or int(carry.it) >= T):
             break
 
-    return IcpResult(
-        H=carry.H,
-        p=carry.p,
-        uncertainties=uncertainties,
-        covariance=covariance,
-        n_iterations=carry.it,
-        converged=carry.converged,
-        error_code=carry.error,
-        iter_counts=carry.iter_counts,
-        iter_means=carry.iter_means,
-        iter_stds=carry.iter_stds,
-        orig_count=carry.orig_count,
-        orig_mean=carry.orig_mean,
-        orig_std=carry.orig_std,
-        residuals=carry.residuals,
-        residual_mask=carry.residual_mask,
-        distance_weight=carry.dist_w,
-        sel_idx=sel_gidx,
-        sel_valid=sel_valid,
-        normals=normals,
-        planarity=planarity,
-        iter_ps=carry.iter_ps,
-        iter_midx=carry.iter_midx,
-        iter_masks=carry.iter_masks,
-        iter_dists=carry.iter_dists,
-        iter_gn_rel_steps=carry.iter_gn,
+    return _result_from_carry(
+        carry, uncertainties, covariance, sel_gidx, sel_valid, normals,
+        planarity,
     )
 
 
@@ -792,36 +747,16 @@ def icp_register_sharded(
     ndev = int(np.prod(mesh.devices.shape))
     axis = mesh.axis_names[0]
 
-    if fixed_prep is not None:
-        nf_in = int(np.shape(X_fix)[0])
-        if cfg.overlap_enabled:
-            raise ValueError(
-                "fixed_prep cannot be combined with the overlap gate "
-                "(max_overlap_distance): a gated selection depends on the "
-                "movable cloud — prepare_fixed refuses such configs too"
-            )
-        if normals_fix is not None:
-            raise ValueError(
-                "pass normals_fix to prepare_fixed, not to the consuming "
-                "icp_register_sharded call — the preparation already "
-                "contains the selected normals"
-            )
-        if nf_in < cfg.correspondences:
-            raise ValueError(
-                "fixed_prep under sharding requires at least "
-                "`correspondences` fixed points (the sharded and host "
-                "selection engines fill sub-C padding slots differently)"
-            )
-        stamp = (fixed_prep.n_fix, fixed_prep.correspondences,
-                 fixed_prep.neighbors, fixed_prep.approx_knn)
-        want = (nf_in, cfg.correspondences, cfg.neighbors, cfg.approx_knn)
-        if stamp != want:
-            raise ValueError(
-                f"fixed_prep was computed for (n_fix, correspondences, "
-                f"neighbors, approx_knn)={stamp}, but this call needs "
-                f"{want} — re-run prepare_fixed with the matching cloud "
-                "and config"
-            )
+    if fixed_prep is not None and np.shape(X_fix)[0] < cfg.correspondences:
+        # sharded-specific constraint on top of _validate_fixed_prep below:
+        # below C the sharded and host selection engines fill the masked
+        # padding slots differently (0 vs clamped nf-1), so the result
+        # fields would not be bit-comparable
+        raise ValueError(
+            "fixed_prep under sharding requires at least "
+            "`correspondences` fixed points (the sharded and host "
+            "selection engines fill sub-C padding slots differently)"
+        )
 
     # The distributed selection reuses round_linspace with the global
     # selected count; the same proven-domain guard as the single-chip
@@ -847,11 +782,11 @@ def icp_register_sharded(
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     np_dtype = np.dtype(dtype.dtype if hasattr(dtype, "dtype") else dtype)
 
-    if fixed_prep is not None and fixed_prep.Q.dtype != jnp.dtype(np_dtype):
-        raise ValueError(
-            f"fixed_prep dtype {fixed_prep.Q.dtype} does not match this "
-            f"call's dtype {jnp.dtype(np_dtype)}"
-        )
+    if fixed_prep is not None:
+        from ..models.icp import _validate_fixed_prep
+
+        _validate_fixed_prep(fixed_prep, int(np.shape(X_fix)[0]), cfg,
+                             np_dtype, normals_fix, "icp_register_sharded")
 
     # Coarse-to-fine warm start: the coarse pass runs single-device on
     # stride-subsampled clouds (models/icp.py plan_warm_start), its result

@@ -280,3 +280,22 @@ def apply_device(resolved: str) -> None:
             "could not route to CPU (jax backend already initialized); "
             "continuing on the default platform"
         )
+
+
+def probe_until_healthy(timeout_s: float = 120.0, budget_s: float = 1200.0,
+                        sleep_s: float = 60.0) -> bool:
+    """Probe-RETRY-until-healthy (the CLAUDE.md benchmarking rule: degraded
+    windows strike mid-benchmark, so probe before every timed row). Retries
+    `probe_default_backend` every `sleep_s` until it answers "ok" or
+    `budget_s` elapses; returns whether the last probe was healthy. ONE
+    implementation shared by the bench scripts — the retry policy used to
+    live copy-pasted in each."""
+    import time
+
+    deadline = time.monotonic() + budget_s
+    while True:
+        st, _backend, psec = probe_default_backend(timeout_s)
+        print(f"  probe: {st} in {psec:.1f} s", flush=True)
+        if st == "ok" or time.monotonic() > deadline:
+            return st == "ok"
+        time.sleep(sleep_s)
