@@ -200,6 +200,24 @@ def test_prepared_sharded_validation(rng):
         icp_register_sharded(Xf[:100], Xm, cfg, mesh=mesh, fixed_prep=small)
 
 
+def test_prepare_fixed_watchdog_refusal(rng, monkeypatch):
+    """On accelerator backends, a preparation whose MINIMAL kNN query
+    block alone exceeds program_budget_s is refused like icp_register's
+    dispatch planner refuses it (over-long programs crash TPU workers) —
+    prepare_fixed must not be a guard bypass. budget=0 disables the
+    guard."""
+    import jax
+
+    Xf, _ = _pair(rng, 3000, 1)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    with pytest.raises(ValueError, match="program_budget_s"):
+        prepare_fixed(Xf, IcpConfig(correspondences=300,
+                                    program_budget_s=1e-12))
+    prep = prepare_fixed(Xf, IcpConfig(correspondences=300,
+                                       program_budget_s=0.0))
+    assert prep.normals.shape == (300, 3)
+
+
 def test_prepared_validation_errors(rng):
     Xf, Xm = _pair(rng, 2000, 2000)
     cfg = IcpConfig(correspondences=200)
