@@ -99,6 +99,7 @@ from .models.icp import (  # noqa: E402
     IcpResult,
     icp_register,
     icp_register_batch,
+    load_fixed_prep,
     prepare_fixed,
 )
 from .api import PointCloud, PointCloudException, SimpleICP, SimpleICPException  # noqa: E402
@@ -111,6 +112,7 @@ __all__ = [
     "IcpResult",
     "icp_register",
     "icp_register_batch",
+    "load_fixed_prep",
     "Parameter",
     "prepare_fixed",
     "PointCloud",

@@ -1562,6 +1562,44 @@ class FixedPrep(NamedTuple):
     neighbors: int           # cfg fingerprint: kNN k
     approx_knn: bool         # cfg fingerprint: candidate engine
 
+    def save(self, path) -> None:
+        """Persist to an ``.npz`` so a serving deployment can compute the
+        preparation offline and `load_fixed_prep` it at startup. Exact:
+        the arrays round-trip bit-for-bit through numpy."""
+        np.savez(
+            path,
+            Q=np.asarray(self.Q), normals=np.asarray(self.normals),
+            planarity=np.asarray(self.planarity),
+            sel_idx=np.asarray(self.sel_idx),
+            sel_valid=np.asarray(self.sel_valid),
+            meta=np.asarray([self.n_fix, self.correspondences,
+                             self.neighbors, int(self.approx_knn)],
+                            np.int64),
+        )
+
+
+def load_fixed_prep(path) -> FixedPrep:
+    """Load a `FixedPrep.save` file. The preparation is dtype-bound: a
+    float64 preparation cannot be faithfully restored with jax x64
+    disabled (jnp.asarray would silently round it to float32 and the
+    consuming registration would accept values that no longer match the
+    f64 prologue bit-for-bit), so that combination is refused."""
+    with np.load(path) as z:
+        if z["Q"].dtype == np.float64 and not jax.config.jax_enable_x64:
+            raise ValueError(
+                "this preparation was computed in float64 but jax x64 is "
+                "disabled — loading would silently round it to float32. "
+                "Enable x64, or re-run prepare_fixed under the serving "
+                "dtype."
+            )
+        meta = z["meta"]
+        return FixedPrep(
+            jnp.asarray(z["Q"]), jnp.asarray(z["normals"]),
+            jnp.asarray(z["planarity"]), jnp.asarray(z["sel_idx"]),
+            jnp.asarray(z["sel_valid"]),
+            int(meta[0]), int(meta[1]), int(meta[2]), bool(meta[3]),
+        )
+
 
 def prepare_fixed(
     X_fix,

@@ -200,6 +200,28 @@ def test_prepared_sharded_validation(rng):
         icp_register_sharded(Xf[:100], Xm, cfg, mesh=mesh, fixed_prep=small)
 
 
+def test_prepared_save_load_roundtrip(rng, tmp_path):
+    """FixedPrep.save / load_fixed_prep: a serving deployment computes the
+    preparation offline and loads it at startup — the round-trip must be
+    bit-exact, so a registration consuming the loaded preparation equals
+    the self-contained run field-for-field."""
+    from simpleicp_tpu import load_fixed_prep
+
+    Xf, Xm = _pair(rng, 3000, 3000)
+    cfg = IcpConfig(correspondences=300)
+    prep = prepare_fixed(Xf, cfg)
+    path = tmp_path / "map_prep.npz"
+    prep.save(path)
+    loaded = load_fixed_prep(path)
+    for a, b in zip(prep[:5], loaded[:5]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert prep[5:] == loaded[5:]  # metadata fingerprint
+    _assert_results_bitequal(
+        icp_register(Xf, Xm, cfg),
+        icp_register(Xf, Xm, cfg, fixed_prep=loaded),
+    )
+
+
 def test_prepare_fixed_watchdog_refusal(rng, monkeypatch):
     """On accelerator backends, a preparation whose MINIMAL kNN query
     block alone exceeds program_budget_s is refused like icp_register's
