@@ -30,6 +30,8 @@ def main():
 
     cfg = IcpConfig()  # gate disabled — selection is movable-independent
     prep = prepare_fixed(X_fix, cfg)  # one-time, per fixed map
+    # a deployment would persist it and load at serving startup:
+    #   prep.save("map_prep.npz"); prep = load_fixed_prep("map_prep.npz")
 
     # a stream of scans (here: perturbed copies standing in for new frames)
     rng = np.random.default_rng(0)
